@@ -1,0 +1,313 @@
+"""The :class:`Matcher` — the framework's primary user-facing object.
+
+Covers the full lifecycle of the reference's 6-function PHP API
+(``src/php_ahocorasick.stub.php:12-37``) in one Pythonic class:
+
+==========================  ==================================================
+reference                   here
+==========================  ==================================================
+``ahocorasick_init``        ``Matcher(patterns)``
+``ahocorasick_add_patterns``:meth:`Matcher.add_patterns` (pre-finalize only)
+``ahocorasick_finalize``    :meth:`Matcher.finalize` (idempotent; True only
+                            on the transition, ``php_ahocorasick.c:845-875``)
+``ahocorasick_match``       :meth:`Matcher.match` (auto-finalizes on first
+                            use, ``php_ahocorasick.c:707``; per-call state
+                            reset — Issue #21 semantics)
+``ahocorasick_isValid``     :meth:`Matcher.is_valid`
+``ahocorasick_deinit``      :meth:`Matcher.close`
+==========================  ==================================================
+
+Match records are dicts with the reference's exact schema and key order
+(``php_ahocorasick_match_handler``, ``src/php_ahocorasick.c:542-589``):
+``pos`` (exclusive byte end offset), ``key`` (string id) *or* ``keyIdx``
+(numeric id) *or* neither, ``aux`` (if provided; shared by reference),
+``start_postion`` (sic — the reference's field-name typo is API surface,
+``php_ahocorasick.c:578``), ``value`` (the pattern as originally given).
+
+Unlike the reference's PHP glue — which ignores ``ac_trie_add`` statuses and
+silently drops duplicate/overlong patterns (unchecked call at
+``php_ahocorasick.c:484``) — :meth:`add_patterns` *returns* the per-pattern
+statuses while keeping identical match output.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import DEFAULT_CONFIG, ScanConfig
+from .core import TrieBuilder, compile_trie, empty_automaton
+from .core.tables import CompiledAutomaton
+from .errors import AddStatus, AhoError, warn
+from .models.dense_dfa import DenseDfaModel
+from .ops.matches import PackedRows, expand_matches, pack_documents
+from .patterns import Pattern, parse_batch
+
+Haystack = Union[str, bytes, bytearray]
+
+
+class StateError(AhoError):
+    """Operation on a closed/uninitialized matcher, or a lifecycle-order
+    violation (reference: PHP warning + ``false``)."""
+
+
+def _as_bytes(h: Haystack) -> bytes:
+    if isinstance(h, str):
+        return h.encode("utf-8")
+    return bytes(h)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class Matcher:
+    """Multi-pattern byte matcher backed by a TPU-compiled dense DFA."""
+
+    def __init__(
+        self,
+        patterns: Optional[Sequence[Any]] = None,
+        config: ScanConfig = DEFAULT_CONFIG,
+    ) -> None:
+        self.config = config
+        self._trie = self._make_builder(config)
+        self._patterns: List[Pattern] = []  # accepted patterns, id = index
+        self._statuses: List[AddStatus] = []
+        self._auto: Optional[CompiledAutomaton] = None
+        self._model: Optional[DenseDfaModel] = None
+        self._finalized = False
+        self._valid = True
+        if patterns is not None:
+            self.add_patterns(patterns)
+
+    # ------------------------------------------------------------ build
+
+    @staticmethod
+    def _make_builder(config: ScanConfig):
+        if config.prefer_native_builder:
+            from . import native
+
+            if native.available():
+                return native.NativeTrieBuilder(config.max_pattern_length)
+        return TrieBuilder(config.max_pattern_length)
+
+    def add_patterns(self, specs: Sequence[Any]) -> List[AddStatus]:
+        """Validate and insert a batch of pattern specs.
+
+        The whole batch is validated before any insertion (a failed batch is
+        atomic, matching ``php_ahocorasick_process_patterns``,
+        ``php_ahocorasick.c:389-489``).  Returns one :class:`AddStatus` per
+        spec; non-SUCCESS patterns are absent from the automaton (identical
+        observable matching behavior to the reference's silent drop).
+        """
+        if not self._valid:
+            warn("add_patterns on a closed matcher")
+            raise StateError("matcher is closed")
+        if self._finalized:
+            warn("Cannot add patterns to an already finalized automaton")
+            raise StateError("automaton already finalized")
+        pats = parse_batch(specs)
+        statuses = []
+        for p in pats:
+            st = self._trie.add(p.value)
+            if st == AddStatus.SUCCESS:
+                self._patterns.append(p)
+            statuses.append(st)
+        self._statuses.extend(statuses)
+        return statuses
+
+    def finalize(self) -> bool:
+        """Compile the automaton. Idempotent; True only on the transition."""
+        if not self._valid:
+            warn("finalize on a closed matcher")
+            raise StateError("matcher is closed")
+        if self._finalized:
+            return False
+        if not self._patterns:
+            self._auto = empty_automaton()
+        elif isinstance(self._trie, TrieBuilder):
+            self._auto = compile_trie(
+                self._trie,
+                [len(p) for p in self._patterns],
+                allow_int16=self.config.allow_int16_states,
+            )
+        else:  # native builder
+            self._auto = self._trie.compile(
+                allow_int16=self.config.allow_int16_states
+            )
+        self._trie.closed = True
+        self._model = DenseDfaModel(self._auto, self.config)
+        self._finalized = True
+        return True
+
+    # ------------------------------------------------------------ query
+
+    @property
+    def finalized(self) -> bool:
+        return self._finalized
+
+    @property
+    def n_patterns(self) -> int:
+        return len(self._patterns)
+
+    @property
+    def automaton(self) -> CompiledAutomaton:
+        if not self._finalized:
+            self.finalize()
+        assert self._auto is not None
+        return self._auto
+
+    @property
+    def model(self) -> DenseDfaModel:
+        if not self._finalized:
+            self.finalize()
+        assert self._model is not None
+        return self._model
+
+    def is_valid(self) -> bool:
+        return self._valid
+
+    def describe(self) -> str:
+        """Human-readable automaton summary (analog of ``ac_trie_display``,
+        ``src/multifast/ahocorasick.c:304-307``)."""
+        if not self._finalized:
+            return f"Matcher(open, {len(self._patterns)} patterns)"
+        return self.automaton.describe()
+
+    # ------------------------------------------------------------ match
+
+    def match(
+        self,
+        haystack: Haystack,
+        find_all: bool = True,
+        backend: Optional[str] = None,
+    ) -> List[dict]:
+        """Scan one haystack; returns reference-parity match record dicts.
+
+        Automaton state is reset per call (a pattern split across two
+        consecutive ``match`` calls does NOT match — Issue #21 semantics,
+        ``php_ahocorasick.c:745`` forcing ``keep=0``; see
+        :meth:`stream` for the opposite, joining behavior).
+
+        With ``find_all=False``, returns only the records of the first
+        matching end position (the reference aborts the scan via the
+        callback return after fully processing that position's match set,
+        ``php_ahocorasick.c:588``).
+        """
+        return self.match_many([haystack], find_all=find_all, backend=backend)[0]
+
+    def match_many(
+        self,
+        haystacks: Sequence[Haystack],
+        find_all: bool = True,
+        backend: Optional[str] = None,
+    ) -> List[List[dict]]:
+        """Scan many haystacks in one batched device launch."""
+        if not self._valid:
+            warn("match on a closed matcher")
+            raise StateError("matcher is closed")
+        if not self._finalized:
+            self.finalize()  # auto-finalize parity (php_ahocorasick.c:707)
+        docs = [_as_bytes(h) for h in haystacks]
+        results: List[List[dict]] = [[] for _ in docs]
+        if self._auto.n_patterns == 0:
+            return results
+
+        be = backend or self.config.backend
+        total = sum(len(d) for d in docs)
+        if be == "host" or (be == "auto" and total <= self.config.host_scan_threshold):
+            self._scan_host(docs, results)
+        else:
+            self._scan_device(docs, results)
+
+        if not find_all:
+            for i, recs in enumerate(results):
+                if recs:
+                    first_pos = recs[0]["pos"]
+                    results[i] = [r for r in recs if r["pos"] == first_pos]
+        return results
+
+    def iter_matches(self, haystack: Haystack) -> Iterator[dict]:
+        """Pull-style match iterator — capability parity with the reference's
+        ``ac_trie_settext``/``ac_trie_findnext`` mode
+        (``src/multifast/ahocorasick.c:253-281``, unused by its own PHP
+        layer).  Matches are computed by the batched device scan and yielded
+        lazily in scan order."""
+        yield from self.match(haystack)
+
+    # ------------------------------------------------------------ teardown
+
+    def close(self) -> bool:
+        """Invalidate the matcher (``ahocorasick_deinit`` analog: finalizes
+        first, then invalidates; second call returns False —
+        ``php_ahocorasick.c:754-791``)."""
+        if not self._valid:
+            return False
+        if not self._finalized:
+            self.finalize()
+        self._valid = False
+        return True
+
+    def __enter__(self) -> "Matcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------ internals
+
+    def _format(self, pid: int, pos: int) -> dict:
+        p = self._patterns[pid]
+        rec: dict = {"pos": pos}
+        if p.key is not None:
+            rec["key"] = p.key
+        elif p.ident is not None:
+            rec["keyIdx"] = p.ident
+        if p.has_aux:
+            rec["aux"] = p.aux
+        rec["start_postion"] = pos - len(p.value)  # sic: reference API typo
+        rec["value"] = p.value_orig
+        return rec
+
+    def _scan_host(self, docs: List[bytes], results: List[List[dict]]) -> None:
+        auto = self._auto
+        for d, doc in enumerate(docs):
+            if not doc:
+                continue
+            data = np.frombuffer(doc, dtype=np.uint8)
+            positions, states, _ = self._model.scan_host(data)
+            out = results[d]
+            for t, s in zip(positions, states):
+                lo, hi = auto.emit_start[s], auto.emit_start[s + 1]
+                for pid in auto.emit_pats[lo:hi]:
+                    out.append(self._format(int(pid), int(t) + 1))
+
+    def _scan_device(self, docs: List[bytes], results: List[List[dict]]) -> None:
+        auto = self._auto
+        halo = max(auto.max_len - 1, 0)
+        packed = pack_documents(
+            docs, self.config.chunk_len, halo, self.config.batch_pad
+        )
+        capacity = self.config.match_capacity
+        while True:
+            idx, sts, n, _ = self._model.scan_compact_device(
+                packed.chunks,
+                packed.lengths,
+                packed.emit_from,
+                None,
+                capacity,
+            )
+            n = int(n)
+            if n <= capacity:
+                break
+            capacity = _next_pow2(n)
+        idx_np = np.asarray(idx)
+        sts_np = np.asarray(sts)
+        for d, pos, pids in expand_matches(auto, packed, idx_np, sts_np, n):
+            out = results[d]
+            for pid in pids:
+                out.append(self._format(int(pid), pos))

@@ -1,0 +1,68 @@
+"""Typed runtime configuration.
+
+The reference has only compile-time constants (``AC_PATTRN_MAX_LENGTH=1024``
+at ``src/multifast/actypes.h:148``; ``MF_REPLACEMENT_BUFFER_SIZE=2048`` at
+``actypes.h:153``) and a single runtime knob (``findAll``).  The TPU build
+adds the knobs that matter on accelerator hardware: chunking/halo geometry,
+device-side match-buffer capacity, table dtype, and mesh shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Configuration for automaton compilation and device scan."""
+
+    #: Hard per-pattern byte-length limit (reference ``actypes.h:148``).
+    max_pattern_length: int = 1024
+
+    #: Target length of one device-side scan row.  Long haystacks are split
+    #: into rows of at most this many payload bytes (plus a left halo) so the
+    #: sequential per-byte dependency is bounded and batch parallelism grows
+    #: with input size.  Must exceed the longest added pattern.
+    chunk_len: int = 2048
+
+    #: Initial capacity of the device-side compacted match buffer (number of
+    #: match *positions*).  On overflow the scan retries with a doubled
+    #: capacity — results are always exact, never truncated.
+    match_capacity: int = 4096
+
+    #: Pad batch dims to multiples of this to bound jit recompilation.
+    batch_pad: int = 8
+
+    #: Use int16 transition tables when the state count allows it (halves
+    #: HBM/VMEM footprint of the table).
+    allow_int16_states: bool = True
+
+    #: Build the trie with the C++ native builder when the shared library is
+    #: available (bit-identical output; much faster at signature scale).
+    prefer_native_builder: bool = True
+
+    #: Upper bound on table bytes to keep resident in VMEM for the Pallas
+    #: fast path (per-core VMEM is ~16 MB; leave room for I/O blocks).
+    vmem_table_budget: int = 8 * 1024 * 1024
+
+    #: Preferred mesh axis name for data-parallel corpus sharding.
+    data_axis: str = "data"
+
+    #: Scan backend: "auto" (host below :attr:`host_scan_threshold`, device
+    #: above), "device" (always JAX), or "host" (always numpy scalar path).
+    backend: str = "auto"
+
+    #: With backend="auto", total haystack bytes at or below this run on the
+    #: host scalar scanner — device dispatch overhead dominates tiny scans.
+    host_scan_threshold: int = 4096
+
+    def __post_init__(self) -> None:
+        if self.max_pattern_length < 1:
+            raise ValueError("max_pattern_length must be >= 1")
+        if self.chunk_len < 1:
+            raise ValueError("chunk_len must be >= 1")
+        if self.match_capacity < 1:
+            raise ValueError("match_capacity must be >= 1")
+
+
+DEFAULT_CONFIG = ScanConfig()

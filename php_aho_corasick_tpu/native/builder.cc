@@ -1,0 +1,212 @@
+// Native automaton builder — the fast-path equivalent of
+// core/trie.py + core/automaton.py for million-pattern (signature-scale)
+// workloads, where the Python trie loop dominates build time.
+//
+// Produces BIT-IDENTICAL tables to the Python builder (same node ids =
+// creation order, same level-order failure computation, same
+// final-states-last renumbering, same CSR emit order own-pattern-first) so
+// the two can be fuzz-checked against each other.
+//
+// Capability analog of the reference's MultiFast build path
+// (ac_trie_add, src/multifast/ahocorasick.c:91-131; ac_trie_finalize,
+// ahocorasick.c:143-155) — but compiles the goto/fail closure into a dense
+// byte-class table instead of keeping a pointer trie.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this
+// environment).
+
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+namespace {
+
+struct Node {
+  // trie edges; linear scan is fine (small per-node fan-out, and the
+  // builder is I/O-bound on pattern bytes at scale)
+  std::vector<std::pair<uint8_t, int32_t>> edges;
+  int32_t own = -1;   // accepted pattern id ending exactly here
+  int32_t depth = 0;
+  int32_t fail = 0;
+};
+
+struct Builder {
+  std::vector<Node> nodes;
+  std::vector<int32_t> pat_lens;
+  int max_pattern_length = 1024;
+  bool closed = false;
+  int max_len = 0;
+
+  // set by compile():
+  int n_classes = 0;
+  int32_t byte_class[256];
+  std::vector<int32_t> table;       // [S * C], renumbered
+  std::vector<int64_t> emit_start;  // [S + 1]
+  std::vector<int32_t> emit_pats;
+  int64_t final_start = 0;
+
+  Builder() { nodes.emplace_back(); }
+
+  int32_t find_edge(const Node& n, uint8_t b) const {
+    for (const auto& e : n.edges)
+      if (e.first == b) return e.second;
+    return -1;
+  }
+};
+
+enum AddStatus : int {
+  kSuccess = 0,
+  kDuplicate = 1,
+  kLong = 2,
+  kZero = 3,
+  kClosed = 4,
+};
+
+}  // namespace
+
+extern "C" {
+
+Builder* aho_builder_new(int max_pattern_length) {
+  Builder* b = new Builder();
+  b->max_pattern_length = max_pattern_length;
+  return b;
+}
+
+void aho_builder_free(Builder* b) { delete b; }
+
+int aho_builder_add(Builder* b, const uint8_t* pat, int64_t len) {
+  if (b->closed) return kClosed;
+  if (len == 0) return kZero;
+  if (len > b->max_pattern_length) return kLong;
+  int32_t s = 0;
+  for (int64_t i = 0; i < len; ++i) {
+    int32_t nxt = b->find_edge(b->nodes[s], pat[i]);
+    if (nxt < 0) {
+      nxt = static_cast<int32_t>(b->nodes.size());
+      b->nodes[s].edges.emplace_back(pat[i], nxt);
+      Node n;
+      n.depth = b->nodes[s].depth + 1;
+      b->nodes.push_back(std::move(n));
+    }
+    s = nxt;
+  }
+  if (b->nodes[s].own >= 0) return kDuplicate;
+  b->nodes[s].own = static_cast<int32_t>(b->pat_lens.size());
+  b->pat_lens.push_back(static_cast<int32_t>(len));
+  if (len > b->max_len) b->max_len = static_cast<int>(len);
+  return kSuccess;
+}
+
+// Compile trie -> dense classed table + CSR emit, final states renumbered
+// last.  Returns 0 on success.
+int aho_builder_compile(Builder* b) {
+  b->closed = true;
+  const int64_t S = static_cast<int64_t>(b->nodes.size());
+
+  // byte classes: 0 = unused-by-any-pattern (always -> root)
+  bool used[256] = {false};
+  for (const auto& n : b->nodes)
+    for (const auto& e : n.edges) used[e.first] = true;
+  int c = 1;
+  for (int i = 0; i < 256; ++i) b->byte_class[i] = used[i] ? c++ : 0;
+  const int C = c;
+  b->n_classes = C;
+
+  // group states by depth, ids ascending (matches the numpy level order)
+  int max_depth = 0;
+  for (const auto& n : b->nodes)
+    if (n.depth > max_depth) max_depth = n.depth;
+  std::vector<std::vector<int32_t>> by_level(max_depth + 1);
+  for (int64_t s = 0; s < S; ++s)
+    by_level[b->nodes[s].depth].push_back(static_cast<int32_t>(s));
+
+  // level-order closure: table rows + failure links (see automaton.py for
+  // the identities; rows referenced are always from shallower levels)
+  std::vector<int32_t> table(static_cast<size_t>(S) * C, 0);
+  for (int d = 0; d <= max_depth; ++d) {
+    for (int32_t s : by_level[d]) {
+      Node& n = b->nodes[s];
+      int32_t* row = &table[static_cast<size_t>(s) * C];
+      if (d > 0)
+        std::memcpy(row, &table[static_cast<size_t>(n.fail) * C],
+                    sizeof(int32_t) * C);
+      for (const auto& e : n.edges) row[b->byte_class[e.first]] = e.second;
+    }
+    for (int32_t s : by_level[d]) {
+      const Node& n = b->nodes[s];
+      for (const auto& e : n.edges) {
+        if (d == 0)
+          b->nodes[e.second].fail = 0;
+        else
+          b->nodes[e.second].fail =
+              table[static_cast<size_t>(n.fail) * C + b->byte_class[e.first]];
+      }
+    }
+  }
+
+  // match counts along failure chains (chain is strictly decreasing depth,
+  // already complete when a node is reached in level order)
+  std::vector<int64_t> counts(S, 0);
+  for (int d = 1; d <= max_depth; ++d)
+    for (int32_t s : by_level[d])
+      counts[s] = (b->nodes[s].own >= 0 ? 1 : 0) + counts[b->nodes[s].fail];
+
+  // renumber: non-final first (old-id ascending), finals last
+  std::vector<int32_t> perm(S), inv(S);
+  int64_t next_id = 0;
+  for (int64_t s = 0; s < S; ++s)
+    if (counts[s] == 0) perm[s] = static_cast<int32_t>(next_id++);
+  b->final_start = next_id;
+  for (int64_t s = 0; s < S; ++s)
+    if (counts[s] > 0) perm[s] = static_cast<int32_t>(next_id++);
+  for (int64_t s = 0; s < S; ++s) inv[perm[s]] = static_cast<int32_t>(s);
+
+  b->table.resize(static_cast<size_t>(S) * C);
+  for (int64_t ns = 0; ns < S; ++ns) {
+    const int32_t* src = &table[static_cast<size_t>(inv[ns]) * C];
+    int32_t* dst = &b->table[static_cast<size_t>(ns) * C];
+    for (int j = 0; j < C; ++j) dst[j] = perm[src[j]];
+  }
+
+  // CSR emit: own pattern first, then failure chain (decreasing length)
+  b->emit_start.assign(S + 1, 0);
+  for (int64_t ns = 0; ns < S; ++ns)
+    b->emit_start[ns + 1] = b->emit_start[ns] + counts[inv[ns]];
+  b->emit_pats.resize(b->emit_start[S]);
+  for (int64_t ns = 0; ns < S; ++ns) {
+    int64_t w = b->emit_start[ns];
+    for (int32_t s = inv[ns]; ; s = b->nodes[s].fail) {
+      if (b->nodes[s].own >= 0) b->emit_pats[w++] = b->nodes[s].own;
+      if (s == 0) break;
+    }
+  }
+  return 0;
+}
+
+int64_t aho_n_states(const Builder* b) {
+  return static_cast<int64_t>(b->nodes.size());
+}
+int aho_n_classes(const Builder* b) { return b->n_classes; }
+int64_t aho_emit_size(const Builder* b) {
+  return static_cast<int64_t>(b->emit_pats.size());
+}
+int64_t aho_final_start(const Builder* b) { return b->final_start; }
+int aho_max_len(const Builder* b) { return b->max_len; }
+int64_t aho_n_patterns(const Builder* b) {
+  return static_cast<int64_t>(b->pat_lens.size());
+}
+
+void aho_export(const Builder* b, int32_t* table, int32_t* byte_class,
+                int64_t* emit_start, int32_t* emit_pats, int32_t* pat_lens) {
+  std::memcpy(table, b->table.data(), b->table.size() * sizeof(int32_t));
+  std::memcpy(byte_class, b->byte_class, sizeof(b->byte_class));
+  std::memcpy(emit_start, b->emit_start.data(),
+              b->emit_start.size() * sizeof(int64_t));
+  std::memcpy(emit_pats, b->emit_pats.data(),
+              b->emit_pats.size() * sizeof(int32_t));
+  std::memcpy(pat_lens, b->pat_lens.data(),
+              b->pat_lens.size() * sizeof(int32_t));
+}
+
+}  // extern "C"

@@ -1,0 +1,155 @@
+"""Device-scan correctness: chunking/halo, capacity retry, backend parity,
+and randomized fuzz against an independent brute-force oracle."""
+
+import random
+
+import numpy as np
+import pytest
+
+from php_aho_corasick_tpu import Matcher, ScanConfig
+
+
+def brute_force(patterns, text):
+    """Independent oracle: all (end_pos, pattern) occurrences, reference
+    order (ascending end, longer pattern first at equal end)."""
+    out = []
+    for pid, p in enumerate(patterns):
+        start = text.find(p)
+        while start != -1:
+            out.append((start + len(p), -len(p), pid))
+            start = text.find(p, start + 1)
+    out.sort()
+    return [(pos, pid) for pos, _, pid in out]
+
+
+def matcher_pairs(recs):
+    return [(r["pos"], r["_pid"]) for r in recs]
+
+
+def run_match(patterns, text, config):
+    c = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], config)
+    recs = c.match(text)
+    return [(r["pos"], r["keyIdx"]) for r in recs]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_vs_brute_force(seed, backend):
+    rng = random.Random(seed)
+    alphabet = b"abcd"
+    n_pats = rng.randint(1, 24)
+    patterns = []
+    seen = set()
+    while len(patterns) < n_pats:
+        L = rng.randint(1, 9)
+        p = bytes(rng.choice(alphabet) for _ in range(L))
+        if p not in seen:
+            seen.add(p)
+            patterns.append(p)
+    text = bytes(rng.choice(alphabet) for _ in range(rng.randint(0, 3000)))
+    cfg = ScanConfig(backend=backend, chunk_len=256, match_capacity=8)
+    assert run_match(patterns, text, cfg) == brute_force(patterns, text)
+
+
+def test_chunk_halo_exactness():
+    # pattern spans every chunk boundary; chunked device scan must still
+    # find each occurrence exactly once
+    pat = b"wxyz"
+    text = (b"." * 97 + pat) * 50
+    cfg = ScanConfig(backend="device", chunk_len=64, match_capacity=4)
+    got = run_match([pat], text, cfg)
+    assert got == brute_force([pat], text)
+    assert len(got) == 50
+
+
+def test_halo_wider_than_chunk():
+    # max_len-1 halo larger than chunk_len payload still correct
+    pat = b"q" * 40
+    text = b"q" * 200
+    cfg = ScanConfig(backend="device", chunk_len=16)
+    got = run_match([pat], text, cfg)
+    assert got == brute_force([pat], text)
+    assert len(got) == 200 - 40 + 1
+
+
+def test_capacity_overflow_retry_is_exact():
+    # every position matches; initial capacity 4 must grow, not truncate
+    text = b"a" * 1000
+    cfg = ScanConfig(backend="device", match_capacity=4)
+    got = run_match([b"a"], text, cfg)
+    assert len(got) == 1000
+    assert got == brute_force([b"a"], text)
+
+
+def test_match_many_batched(backend):
+    cfg = ScanConfig(backend=backend)
+    c = Matcher(["ab", "bc"], cfg)
+    docs = ["xxabyy", "", "bcbcbc", "zzz", "ab"]
+    res = c.match_many(docs)
+    assert [len(r) for r in res] == [1, 0, 3, 0, 1]
+    assert res[2][0]["pos"] == 2 and res[2][2]["pos"] == 6
+    # identical to one-at-a-time
+    for doc, r in zip(docs, res):
+        assert c.match(doc) == r
+
+
+def test_find_all_false_returns_first_position_group(backend):
+    # at the first matching end position, ALL patterns of that position are
+    # returned (the reference aborts only after the handler processed the
+    # whole AC_MATCH_t, php_ahocorasick.c:588)
+    cfg = ScanConfig(backend=backend)
+    c = Matcher(["abcd", "cd", "zz"], cfg)
+    recs = c.match("xxabcdzz", find_all=False)
+    assert [r["value"] for r in recs] == ["abcd", "cd"]
+    assert all(r["pos"] == 6 for r in recs)
+
+
+def test_overlapping_and_nested(backend):
+    cfg = ScanConfig(backend=backend)
+    got = run_match([b"aaa", b"aa", b"a"], b"aaaa", cfg)
+    assert got == brute_force([b"aaa", b"aa", b"a"], b"aaaa")
+
+
+def test_binary_patterns_full_byte_range(backend):
+    cfg = ScanConfig(backend=backend)
+    pats = [bytes([0, 1, 255]), bytes([255, 255]), b"\x00"]
+    text = bytes([0, 1, 255, 255, 255, 0])
+    got = run_match(pats, text, cfg)
+    assert got == brute_force(pats, text)
+
+
+def test_long_doc_equals_unchunked(backend):
+    rng = random.Random(123)
+    patterns = [b"abcab", b"bca", b"cc", b"aaaa"]
+    text = bytes(rng.choice(b"abc") for _ in range(20000))
+    chunked = run_match(patterns, text, ScanConfig(backend=backend, chunk_len=512))
+    assert chunked == brute_force(patterns, text)
+
+
+def test_scan_host_matches_device_states():
+    from php_aho_corasick_tpu.core import TrieBuilder, compile_trie
+    from php_aho_corasick_tpu.models.dense_dfa import DenseDfaModel
+    from php_aho_corasick_tpu.ops.scan_jax import scan_states
+
+    import jax.numpy as jnp
+
+    t = TrieBuilder()
+    for p in [b"he", b"she", b"his", b"hers"]:
+        t.add(p)
+    auto = compile_trie(t, [2, 3, 3, 4])
+    model = DenseDfaModel(auto, ScanConfig())
+    data = np.frombuffer(b"ushershishehe", dtype=np.uint8)
+    pos, sts, carry = model.scan_host(data)
+
+    dev = model.device_arrays
+    states, last = scan_states(
+        dev["table_flat"],
+        dev["byte_class"],
+        jnp.asarray(data)[None, :],
+        jnp.zeros((1,), jnp.int32),
+        auto.n_classes,
+    )
+    states = np.asarray(states)[0]
+    assert int(last[0]) == carry
+    dev_final = np.nonzero(states >= auto.final_start)[0]
+    assert (dev_final == pos).all()
+    assert (states[dev_final] == sts).all()
