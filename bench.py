@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Headline benchmark — the reference's own workload, TPU-native.
+
+Workload (reference ``examples/benchmark.php:20-31``): 2048 needles x 16
+chars over alphabet ``abcdef``, scanned across 256 haystacks x 8192 chars
+(2 MiB per pass).  The reference reports 0.174 s per pass incl. automaton
+build => ~12 MB/s implied throughput (``README.md:183``, BASELINE.md).
+
+Here the corpus is scanned in steady state (one automaton, many passes —
+the reference's intended amortization pattern) on one TPU chip; we report
+scan throughput in GB/s and the ratio vs the reference's implied 12 MB/s.
+
+NOTE: on the axon backend ``block_until_ready`` does not synchronize;
+all timings force host fetches of device results (see docs/PERF_NOTES.md).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import random
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_GBPS = 2.0 * 1024**2 / 0.174326 / 1e9  # ~0.01203 GB/s
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from php_aho_corasick_tpu import Matcher, ScanConfig
+    from php_aho_corasick_tpu.ops.matches import pack_documents
+
+    rng = random.Random(1337)
+    alphabet = b"abcdef"
+    needles = set()
+    while len(needles) < 2048:
+        needles.add(bytes(rng.choice(alphabet) for _ in range(16)))
+    needles = sorted(needles)
+
+    base_docs = [
+        bytes(rng.choice(alphabet) for _ in range(8192)) for _ in range(256)
+    ]
+    # steady-state corpus: replicate the 2 MiB pass 16x per launch
+    docs = base_docs * 16
+    total_bytes = sum(map(len, docs))
+
+    cfg = ScanConfig(backend="device", chunk_len=2048)
+    t0 = time.time()
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(needles)], cfg)
+    m.finalize()
+    km = m.kgram_model
+    km.ktable_host  # materialize the k-gram table
+    build_s = time.time() - t0
+
+    # correctness spot-check: plant a needle, verify the full pipeline
+    planted = base_docs[0][:100] + needles[7] + base_docs[0][100:]
+    recs = m.match(planted)
+    assert any(
+        r["keyIdx"] == 7 and r["pos"] == 116 for r in recs
+    ), "planted needle not found"
+
+    auto = m.automaton
+    halo = auto.max_len - 1
+    packed = pack_documents(docs, cfg.chunk_len, halo)
+    chunks = jnp.asarray(packed.chunks)
+    lengths = jnp.asarray(packed.lengths)
+    emit_from = jnp.asarray(packed.emit_from)
+
+    def launch():
+        cells, prevs, entries, n, carry = km.scan_compact_device(
+            chunks, lengths, emit_from, None, cfg.match_capacity
+        )
+        return int(n)  # host fetch forces completion (axon: never trust
+        # block_until_ready)
+
+    launch()  # warm up / compile
+    reps = 3
+    t0 = time.time()
+    total_matches = 0
+    for _ in range(reps):
+        total_matches += launch()
+    dt = (time.time() - t0) / reps
+    gbps = total_bytes / dt / 1e9
+
+    # end-to-end through the public API (includes host packing and the
+    # host->device transfer, which on this rig goes through a ~33 MB/s
+    # loopback relay — an artifact of the tunnel, not the chip)
+    t0 = time.time()
+    m.match_many(docs)
+    e2e_dt = time.time() - t0
+    e2e_gbps = total_bytes / e2e_dt / 1e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "scan_throughput_2048x16_needles",
+                "value": round(gbps, 4),
+                "unit": "GB/s/chip",
+                "vs_baseline": round(gbps / REFERENCE_GBPS, 1),
+                "detail": {
+                    "corpus_mib": round(total_bytes / 2**20, 1),
+                    "pass_ms": round(dt * 1e3, 2),
+                    "e2e_gbps_via_relay": round(e2e_gbps, 4),
+                    "build_s": round(build_s, 3),
+                    "engine_k": km.k,
+                    "states": auto.n_states,
+                    "matches": total_matches // reps,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

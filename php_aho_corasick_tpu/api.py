@@ -79,6 +79,7 @@ class Matcher:
         self._statuses: List[AddStatus] = []
         self._auto: Optional[CompiledAutomaton] = None
         self._model: Optional[DenseDfaModel] = None
+        self._kmodel = None
         self._finalized = False
         self._valid = True
         if patterns is not None:
@@ -286,28 +287,137 @@ class Matcher:
                 for pid in auto.emit_pats[lo:hi]:
                     out.append(self._format(int(pid), int(t) + 1))
 
+    @property
+    def kgram_model(self):
+        """Lazily-built k-gram device model (models/kgram_dfa.py)."""
+        if self._kmodel is None:
+            from .models.kgram_dfa import KgramDfaModel
+
+            self._kmodel = KgramDfaModel(self.automaton, self.config)
+        return self._kmodel
+
+    def _pick_engine(self, total_payload: int) -> str:
+        cfg = self.config
+        if cfg.engine in ("dfa", "kgram"):
+            return cfg.engine
+        if total_payload >= cfg.kgram_min_bytes and self.kgram_model.k >= 2:
+            return "kgram"
+        return "dfa"
+
     def _scan_device(self, docs: List[bytes], results: List[List[dict]]) -> None:
+        import math
+
+        import jax
+
+        from .ops.matches import expand_matches_kgram
+
         auto = self._auto
         halo = max(auto.max_len - 1, 0)
-        packed = pack_documents(
-            docs, self.config.chunk_len, halo, self.config.batch_pad
+        n_dev = len(jax.devices())
+        use_mesh = self.config.auto_shard and n_dev > 1
+        batch_pad = (
+            math.lcm(self.config.batch_pad, n_dev)
+            if use_mesh
+            else self.config.batch_pad
         )
+        engine = self._pick_engine(sum(len(d) for d in docs))
+        packed = pack_documents(docs, self.config.chunk_len, halo, batch_pad)
         capacity = self.config.match_capacity
-        while True:
-            idx, sts, n, _ = self._model.scan_compact_device(
-                packed.chunks,
-                packed.lengths,
-                packed.emit_from,
-                None,
-                capacity,
-            )
-            n = int(n)
-            if n <= capacity:
-                break
-            capacity = _next_pow2(n)
-        idx_np = np.asarray(idx)
-        sts_np = np.asarray(sts)
-        for d, pos, pids in expand_matches(auto, packed, idx_np, sts_np, n):
+
+        if engine == "kgram":
+            k = self.kgram_model.k
+            if use_mesh:
+                cells_np, prevs_np, n = self._run_sharded(
+                    packed, capacity, engine="kgram"
+                )
+            else:
+                while True:
+                    cells, prevs, _entries, n, _ = (
+                        self.kgram_model.scan_compact_device(
+                            packed.chunks, packed.lengths, packed.emit_from,
+                            None, capacity,
+                        )
+                    )
+                    n = int(n)
+                    if n <= capacity:
+                        break
+                    capacity = _next_pow2(n)
+                cells_np = np.asarray(cells)
+                prevs_np = np.asarray(prevs)
+            it = expand_matches_kgram(auto, packed, k, cells_np, prevs_np, n)
+        else:
+            if use_mesh:
+                idx_np, sts_np, n = self._run_sharded(
+                    packed, capacity, engine="dfa"
+                )
+            else:
+                while True:
+                    idx, sts, n, _ = self._model.scan_compact_device(
+                        packed.chunks, packed.lengths, packed.emit_from,
+                        None, capacity,
+                    )
+                    n = int(n)
+                    if n <= capacity:
+                        break
+                    capacity = _next_pow2(n)
+                idx_np = np.asarray(idx)
+                sts_np = np.asarray(sts)
+            it = expand_matches(auto, packed, idx_np, sts_np, n)
+
+        for d, pos, pids in it:
             out = results[d]
             for pid in pids:
                 out.append(self._format(int(pid), pos))
+
+    def _run_sharded(self, packed: PackedRows, capacity: int, engine: str):
+        """Mesh-sharded scan with exact capacity-retry (see parallel/)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .ops.matches import merge_shard_buffers
+        from .parallel.mesh import data_mesh
+        from .parallel.shard_scan import (
+            sharded_scan_compact,
+            sharded_scan_compact_kgram,
+        )
+
+        mesh = data_mesh()
+        row = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        chunks = jax.device_put(jnp.asarray(packed.chunks), row)
+        lengths = jax.device_put(jnp.asarray(packed.lengths), row)
+        emit_from = jax.device_put(jnp.asarray(packed.emit_from), row)
+        init = jax.device_put(jnp.zeros((packed.batch,), jnp.int32), row)
+        auto = self._auto
+        if engine == "kgram":
+            host = {
+                "ktable": self.kgram_model.ktable_host,
+                "byte_class": auto.byte_class.astype(np.int32),
+                "used_bytes": auto.used_bytes,
+            }
+        else:
+            host = {
+                "table_flat": np.ascontiguousarray(auto.table).reshape(-1),
+                "byte_class": auto.byte_class.astype(np.int32),
+                "used_bytes": auto.used_bytes,
+            }
+        dev = {k: jax.device_put(jnp.asarray(v), rep) for k, v in host.items()}
+        dev["final_start"] = jax.device_put(jnp.int32(auto.final_start), rep)
+        while True:
+            if engine == "kgram":
+                idx, aux, _entries, counts, _ = sharded_scan_compact_kgram(
+                    mesh, dev, chunks, init, lengths, emit_from,
+                    n_classes=auto.n_classes, k=self.kgram_model.k,
+                    capacity=capacity,
+                )
+            else:
+                idx, aux, counts, _ = sharded_scan_compact(
+                    mesh, dev, chunks, init, lengths, emit_from,
+                    n_classes=auto.n_classes, capacity=capacity,
+                )
+            counts_np = np.asarray(counts)
+            if counts_np.max(initial=0) <= capacity:
+                break
+            capacity = _next_pow2(int(counts_np.max()))
+        return merge_shard_buffers(np.asarray(idx), np.asarray(aux), counts_np)

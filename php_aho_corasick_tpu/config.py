@@ -48,9 +48,25 @@ class ScanConfig:
     #: Preferred mesh axis name for data-parallel corpus sharding.
     data_axis: str = "data"
 
+    #: Automatically shard device scans over all visible devices via a 1-D
+    #: data mesh when more than one device is present.
+    auto_shard: bool = True
+
     #: Scan backend: "auto" (host below :attr:`host_scan_threshold`, device
     #: above), "device" (always JAX), or "host" (always numpy scalar path).
     backend: str = "auto"
+
+    #: Device scan engine: "auto" picks the k-gram model for large scans
+    #: when the composed table fits the budget; "dfa" forces the 1-gram
+    #: dense model; "kgram" forces the k-gram model.
+    engine: str = "auto"
+
+    #: Byte budget for the k-gram super-transition table (S * C^k * 4).
+    kgram_budget_bytes: int = 256 * 1024 * 1024
+
+    #: With engine="auto", scans smaller than this use the 1-gram model
+    #: (the k-gram table build is amortized only by large corpora).
+    kgram_min_bytes: int = 1 << 20
 
     #: With backend="auto", total haystack bytes at or below this run on the
     #: host scalar scanner — device dispatch overhead dominates tiny scans.

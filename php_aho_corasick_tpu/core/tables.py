@@ -75,6 +75,13 @@ class CompiledAutomaton:
         return (self.emit_start[1:] - self.emit_start[:-1]).astype(np.int32)
 
     @property
+    def used_bytes(self) -> np.ndarray:
+        """Sorted byte values used by any pattern; byte ``used_bytes[i]``
+        has class ``i + 1`` (the compiler assigns classes in sorted byte
+        order)."""
+        return np.nonzero(self.byte_class)[0].astype(np.uint8)
+
+    @property
     def table_bytes(self) -> int:
         return self.table.nbytes
 

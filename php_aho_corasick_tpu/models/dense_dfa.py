@@ -72,6 +72,7 @@ class DenseDfaModel:
             self._dev = {
                 "table_flat": jnp.asarray(np.ascontiguousarray(auto.table).reshape(-1)),
                 "byte_class": jnp.asarray(auto.byte_class.astype(np.int32)),
+                "used_bytes": jnp.asarray(auto.used_bytes),
                 "final_start": jnp.int32(auto.final_start),
             }
         return self._dev
@@ -98,6 +99,7 @@ class DenseDfaModel:
         return scan_and_compact(
             dev["table_flat"],
             dev["byte_class"],
+            dev["used_bytes"],
             jnp.asarray(chunks),
             init,
             jnp.asarray(lengths),

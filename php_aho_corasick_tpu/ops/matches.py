@@ -89,6 +89,25 @@ def pack_documents(
     return PackedRows(chunks, lengths, emit_from, doc_id, global_off)
 
 
+def merge_shard_buffers(
+    idx2d: np.ndarray,  # [n_shards, capacity] global cell indices
+    sts2d: np.ndarray,  # [n_shards, capacity]
+    counts: np.ndarray,  # [n_shards] true per-shard match counts
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Concatenate per-shard compacted buffers into one ascending stream.
+
+    Shards hold contiguous row blocks and entries are ascending within a
+    shard, so shard-order concatenation is globally ascending.
+    """
+    parts_i = [idx2d[s, : counts[s]] for s in range(idx2d.shape[0])]
+    parts_s = [sts2d[s, : counts[s]] for s in range(idx2d.shape[0])]
+    return (
+        np.concatenate(parts_i) if parts_i else np.zeros(0, np.int32),
+        np.concatenate(parts_s) if parts_s else np.zeros(0, np.int32),
+        int(counts.sum()),
+    )
+
+
 def expand_matches(
     auto: CompiledAutomaton,
     packed: PackedRows,
@@ -114,3 +133,57 @@ def expand_matches(
     ends = auto.emit_start[sts + 1]
     for i in range(n_matches):
         yield int(docs[i]), int(end_pos[i]), auto.emit_pats[starts[i] : ends[i]]
+
+
+def expand_matches_kgram(
+    auto: CompiledAutomaton,
+    packed: PackedRows,
+    k: int,
+    cell_idx: np.ndarray,  # [capacity] flattened b * (L/k) + cell, ascending
+    prev_state: np.ndarray,  # [capacity] state entering each flagged cell
+    n_cells: int,
+) -> Iterator[Tuple[int, int, np.ndarray]]:
+    """Re-walk flagged k-gram cells to exact per-position matches.
+
+    The device only flags cells (k-byte windows) containing at least one
+    final position; here each flagged cell's bytes are re-run through the
+    1-gram table — vectorized across all flagged cells, k steps total — and
+    precise (position, state) matches are emitted in reference scan order.
+    """
+    if n_cells == 0:
+        return
+    Lc = packed.row_len // k
+    cells = cell_idx[:n_cells].astype(np.int64)
+    prevs = prev_state[:n_cells].astype(np.int64)
+    rows = cells // Lc
+    tc = cells % Lc
+    byte_mat = packed.chunks[
+        rows[:, None], tc[:, None] * k + np.arange(k)[None, :]
+    ]  # [n, k]
+    cls_mat = auto.byte_class[byte_mat]
+    table = auto.table
+    fs = auto.final_start
+    row_emit_from = packed.emit_from[rows]
+    row_len = packed.lengths[rows]
+    s = prevs
+    valid_j = np.empty((k, n_cells), dtype=bool)
+    state_j = np.empty((k, n_cells), dtype=np.int64)
+    pos_j = np.empty((k, n_cells), dtype=np.int64)
+    for j in range(k):
+        s = table[s, cls_mat[:, j]].astype(np.int64)
+        pos = tc * k + j
+        valid_j[j] = (s >= fs) & (pos >= row_emit_from) & (pos < row_len)
+        state_j[j] = s
+        pos_j[j] = pos
+    doc_ids = packed.doc_id[rows]
+    offs = packed.global_off[rows]
+    for i in range(n_cells):
+        for j in range(k):
+            if valid_j[j, i]:
+                st = state_j[j, i]
+                lo, hi = auto.emit_start[st], auto.emit_start[st + 1]
+                yield (
+                    int(doc_ids[i]),
+                    int(offs[i] + pos_j[j, i] + 1),
+                    auto.emit_pats[lo:hi],
+                )

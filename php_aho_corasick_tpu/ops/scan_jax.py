@@ -3,20 +3,29 @@
 The hot loop of the reference (`ac_trie_search`,
 ``src/multifast/ahocorasick.c:199-234``) is a sequential byte-at-a-time walk
 with failure-link chasing.  Here the automaton is a precomposed dense table,
-so one input byte costs exactly one gather:
+so advancing the DFA costs exactly one gather:
 
-    ``state[t+1] = table[state[t] * C + byte_class[byte[t]]]``
+    ``state[t+1] = table[state[t] * C + class(byte[t])]``
 
-The sequential dependency is over ``L`` (row length); throughput comes from
-the batch dimension ``B`` (many haystacks and/or halo-overlapped chunks of
-long haystacks scanned in lockstep) — the TPU-native analog of the
-reference's "one automaton, many haystacks" amortization pattern.
+TPU v5e has no vector gather (XLA's gather unit sustains ~100M elems/s,
+table-size independent — see docs/PERF_NOTES.md), so the kernels are built
+around gather *economy*:
 
-Match output is compacted **on device**: finality is a single compare
-(``state >= final_start``, see tables.py renumbering), matched positions are
-extracted with a fixed-capacity ``nonzero`` (count-then-gather; the caller
-retries with doubled capacity on overflow, so results are exact, never
-silently truncated).
+* byte -> class via compare-select (VPU) for small alphabets, not a lookup;
+* the **k-gram engine** precomposes k transitions into one table
+  ``table_k[s, code(c_0..c_{k-1})]`` whose int32 entry packs the end state
+  plus a "some intermediate position was final" flag — one gather advances
+  k bytes; flagged (i.e. matching) cells are re-walked on the host;
+* match output is compacted **on device**: finality is a compare
+  (``state >= final_start``, see tables.py renumbering), matched cells are
+  extracted with a fixed-capacity ``nonzero`` (count-then-gather; the
+  caller retries with doubled capacity on overflow — exact, never
+  silently truncated).
+
+The sequential dependency is over the row length; throughput comes from the
+batch dimension (many haystacks and/or halo-overlapped chunks of long
+haystacks in lockstep) — the TPU-native analog of the reference's "one
+automaton, many haystacks" amortization pattern.
 """
 
 from __future__ import annotations
@@ -29,17 +38,48 @@ import jax.numpy as jnp
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
+#: k-gram entry layout: low bits = end state, bit 30 = "some intermediate
+#: position inside this cell reached a final state" (host re-walks flagged
+#: cells to recover exact positions; see models/kgram_dfa.py).
+KGRAM_STATE_MASK = (1 << 30) - 1
+KGRAM_MID_FLAG = 1 << 30
+
+#: compare-select classification is used up to this many distinct bytes
+CLASSIFY_SELECT_LIMIT = 32
+
+
+def classify_bytes(chunks: jax.Array, used_bytes: jax.Array) -> jax.Array:
+    """byte -> class id via compare-select (VPU) instead of a gather.
+
+    ``used_bytes`` is the sorted array of byte values appearing in any
+    pattern; byte ``used_bytes[i]`` has class ``i + 1`` (matching the table
+    compiler's class assignment), all others class 0.  An unrolled compare
+    chain runs at VPU speed vs ~100M elems/s for a gathered 256-entry
+    lookup; the gather path remains for pattern sets touching many bytes.
+    """
+    cls = jnp.zeros(chunks.shape, jnp.int32)
+    for i in range(used_bytes.shape[0]):
+        cls = jnp.where(chunks == used_bytes[i], jnp.int32(i + 1), cls)
+    return cls
+
+
+def _classes(chunks, byte_class, used_bytes):
+    if used_bytes.shape[0] <= CLASSIFY_SELECT_LIMIT:
+        return classify_bytes(chunks, used_bytes)
+    return jnp.take(byte_class, chunks.astype(jnp.int32), axis=0)
+
 
 @functools.partial(jax.jit, static_argnames=("n_classes",))
 def scan_states(
     table_flat: jax.Array,  # [S*C] int16/int32
     byte_class: jax.Array,  # [256] int32
+    used_bytes: jax.Array,  # [U] uint8 (sorted; classes 1..U)
     chunks: jax.Array,  # [B, L] uint8
     init_state: jax.Array,  # [B] int32
     n_classes: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the DFA over each row. Returns (states [B, L] int32, final [B])."""
-    cls = jnp.take(byte_class, chunks.astype(jnp.int32), axis=0)  # [B, L]
+    cls = _classes(chunks, byte_class, used_bytes)
 
     def step(state, cls_t):
         ns = jnp.take(table_flat, state * n_classes + cls_t).astype(jnp.int32)
@@ -49,12 +89,11 @@ def scan_states(
     return states.T, last
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_classes", "capacity")
-)
+@functools.partial(jax.jit, static_argnames=("n_classes", "capacity"))
 def scan_and_compact(
     table_flat: jax.Array,
     byte_class: jax.Array,
+    used_bytes: jax.Array,
     chunks: jax.Array,  # [B, L] uint8
     init_state: jax.Array,  # [B] int32
     lengths: jax.Array,  # [B] int32 valid byte count per row
@@ -63,21 +102,23 @@ def scan_and_compact(
     n_classes: int,
     capacity: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Scan + device-side match compaction.
+    """Byte-at-a-time scan + device-side match compaction.
 
     Returns ``(match_idx [capacity], match_state [capacity], n_matches,
     carry_state [B])``.  ``match_idx`` holds flattened ``b * L + t`` indices
-    of final positions in ascending order (i.e. reference scan order within
-    each row), padded with INT32_MAX.  ``n_matches`` is the *true* number of
+    of final positions in ascending order (reference scan order within each
+    row), padded with INT32_MAX.  ``n_matches`` is the *true* number of
     final positions; if it exceeds ``capacity`` the caller must retry.
 
-    ``emit_from`` masks halo positions: for a chunk row carrying a left halo
-    of overlap bytes, positions before ``emit_from`` are owned by the
-    neighboring chunk (or already reported by a previous streaming feed) and
-    must not emit here.
+    ``emit_from`` masks halo positions: for a chunk row carrying a left
+    halo, positions before ``emit_from`` are owned by the neighboring chunk
+    (or were already reported by a previous streaming feed) and must not
+    emit here.
     """
     B, L = chunks.shape
-    states, carry = scan_states(table_flat, byte_class, chunks, init_state, n_classes)
+    states, carry = scan_states(
+        table_flat, byte_class, used_bytes, chunks, init_state, n_classes
+    )
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     final = (
         (states >= final_start)
@@ -93,3 +134,74 @@ def scan_and_compact(
         idx < INT32_MAX, jnp.take(states.reshape(-1), safe), -1
     )
     return idx, match_state, n_matches, carry
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_classes", "k", "capacity")
+)
+def scan_and_compact_kgram(
+    ktable: jax.Array,  # [S * C^k] int32 packed entries
+    byte_class: jax.Array,  # [256] int32
+    used_bytes: jax.Array,  # [U] uint8
+    chunks: jax.Array,  # [B, L] uint8, L % k == 0
+    init_state: jax.Array,  # [B] int32
+    lengths: jax.Array,  # [B] int32
+    emit_from: jax.Array,  # [B] int32
+    final_start: jax.Array,  # scalar int32
+    n_classes: int,
+    k: int,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """k-bytes-per-gather scan + cell-level compaction.
+
+    A *cell* is a k-byte window (cell ``j`` of row ``b`` covers positions
+    ``[j*k, (j+1)*k)``).  A cell is flagged when its entry's mid-final flag
+    is set or its end state is final, and it overlaps the row's
+    ``[emit_from, length)`` emission window.  Output per flagged cell:
+    flattened cell index, the state *entering* the cell, and the packed
+    entry.  The host re-walks each flagged cell's k bytes through the
+    1-gram table to recover exact per-position matches
+    (ops/matches.py expand_matches_kgram) — work proportional to matches,
+    not corpus size.
+
+    Returns ``(cell_idx [cap], prev_state [cap], entry [cap], n_cells,
+    carry_state [B])``.
+    """
+    B, L = chunks.shape
+    assert L % k == 0
+    n_cells_row = L // k
+    cls = _classes(chunks, byte_class, used_bytes)
+    # cell codes: base-C digits of each k-byte window
+    c = cls.reshape(B, n_cells_row, k)
+    code = c[..., 0]
+    for j in range(1, k):
+        code = code * n_classes + c[..., j]
+
+    def step(state, code_t):
+        entry = jnp.take(ktable, state * (n_classes**k) + code_t)
+        ns = entry & KGRAM_STATE_MASK
+        return ns, (state, entry)
+
+    carry, (prevs, entries) = jax.lax.scan(
+        step, init_state, code.T
+    )  # [Lc, B] each
+    prevs = prevs.T
+    entries = entries.T
+
+    cell_i = jax.lax.broadcasted_iota(jnp.int32, (B, n_cells_row), 1)
+    interesting = ((entries & KGRAM_MID_FLAG) != 0) | (
+        (entries & KGRAM_STATE_MASK) >= final_start
+    )
+    overlaps = (cell_i * k < lengths[:, None]) & (
+        (cell_i + 1) * k > emit_from[:, None]
+    )
+    flagged = (interesting & overlaps).reshape(-1)
+    n_flagged = flagged.sum(dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flagged, size=capacity, fill_value=INT32_MAX)
+    idx = idx.astype(jnp.int32)
+    safe = jnp.minimum(idx, B * n_cells_row - 1)
+    out_prev = jnp.where(idx < INT32_MAX, jnp.take(prevs.reshape(-1), safe), -1)
+    out_entry = jnp.where(
+        idx < INT32_MAX, jnp.take(entries.reshape(-1), safe), -1
+    )
+    return idx, out_prev, out_entry, n_flagged, carry

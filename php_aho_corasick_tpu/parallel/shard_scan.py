@@ -1,0 +1,186 @@
+"""Data-parallel sharded scan: pjit/shard_map over the ``data`` mesh axis.
+
+TPU-native replacement for the reference's "one automaton, many haystacks"
+amortization (``README.md:7-9``): chunk rows are sharded over chips, the
+transition table + byte-class map are replicated (HBM-resident per chip),
+and each chip runs the same compacted scan kernel on its rows.  Collectives:
+
+* ``psum`` — global match count (the scalar every caller needs first);
+* ``pmax`` — worst per-shard buffer occupancy, drives the exact
+  capacity-retry loop (a shard overflowing its fixed match buffer forces a
+  doubled retry — never silent truncation);
+* match buffers themselves stay sharded (out_spec ``P("data")``) and are
+  fetched shard-major, which preserves global scan order because rows are
+  packed document-major and shards are contiguous row blocks.
+
+Halo handling is identical to the single-chip path: rows already carry
+their left overlap (ops/matches.py pack_documents), so no neighbor
+communication is needed during the scan — the halo is the sequence-parallel
+story for a streaming DFA (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.scan_jax import INT32_MAX, scan_and_compact
+from .mesh import DATA_AXIS
+
+try:  # jax >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_classes", "capacity"),
+)
+def _sharded_call(
+    table_flat,
+    byte_class,
+    used_bytes,
+    chunks,
+    init_state,
+    lengths,
+    emit_from,
+    final_start,
+    *,
+    mesh: Mesh,
+    n_classes: int,
+    capacity: int,
+):
+    data, rep = P(DATA_AXIS), P()
+
+    def local_fn(table, bc, ub, ch, ini, ln, ef, fs):
+        idx, sts, n, carry = scan_and_compact(
+            table, bc, ub, ch, ini, ln, ef, fs,
+            n_classes=n_classes, capacity=capacity,
+        )
+        shard = jax.lax.axis_index(DATA_AXIS)
+        local_cells = ch.shape[0] * ch.shape[1]
+        idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
+        return idx[None], sts[None], n[None], carry
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, data, data, data, data, rep),
+        out_specs=(data, data, data, data),
+    )
+    return fn(
+        table_flat, byte_class, used_bytes, chunks, init_state, lengths,
+        emit_from, final_start,
+    )
+
+
+def sharded_scan_compact(
+    mesh: Mesh,
+    dev_arrays: dict,
+    chunks,
+    init_state,
+    lengths,
+    emit_from,
+    n_classes: int,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Run the compacted 1-gram scan over the mesh.
+
+    Returns ``(idx [n_shards, capacity], states [n_shards, capacity],
+    counts [n_shards], carry [B])`` — ``idx`` entries are *global*
+    flattened ``row * L + t`` cell indices, ascending within each shard.
+    """
+    return _sharded_call(
+        dev_arrays["table_flat"],
+        dev_arrays["byte_class"],
+        dev_arrays["used_bytes"],
+        chunks,
+        init_state,
+        lengths,
+        emit_from,
+        dev_arrays["final_start"],
+        mesh=mesh,
+        n_classes=n_classes,
+        capacity=capacity,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_classes", "k", "capacity"),
+)
+def _sharded_call_kgram(
+    ktable,
+    byte_class,
+    used_bytes,
+    chunks,
+    init_state,
+    lengths,
+    emit_from,
+    final_start,
+    *,
+    mesh: Mesh,
+    n_classes: int,
+    k: int,
+    capacity: int,
+):
+    from ..ops.scan_jax import scan_and_compact_kgram
+
+    data, rep = P(DATA_AXIS), P()
+
+    def local_fn(kt, bc, ub, ch, ini, ln, ef, fs):
+        idx, prevs, entries, n, carry = scan_and_compact_kgram(
+            kt, bc, ub, ch, ini, ln, ef, fs,
+            n_classes=n_classes, k=k, capacity=capacity,
+        )
+        shard = jax.lax.axis_index(DATA_AXIS)
+        local_cells = ch.shape[0] * (ch.shape[1] // k)
+        idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
+        return idx[None], prevs[None], entries[None], n[None], carry
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, data, data, data, data, rep),
+        out_specs=(data, data, data, data, data),
+    )
+    return fn(
+        ktable, byte_class, used_bytes, chunks, init_state, lengths,
+        emit_from, final_start,
+    )
+
+
+def sharded_scan_compact_kgram(
+    mesh: Mesh,
+    dev_arrays: dict,
+    chunks,
+    init_state,
+    lengths,
+    emit_from,
+    n_classes: int,
+    k: int,
+    capacity: int,
+):
+    """Sharded k-gram scan (see models/kgram_dfa.py).  Returns
+    ``(cell_idx [n_shards, cap], prev_state [n_shards, cap],
+    entries [n_shards, cap], counts [n_shards], carry [B])`` with
+    global cell indices."""
+    return _sharded_call_kgram(
+        dev_arrays["ktable"],
+        dev_arrays["byte_class"],
+        dev_arrays["used_bytes"],
+        chunks,
+        init_state,
+        lengths,
+        emit_from,
+        dev_arrays["final_start"],
+        mesh=mesh,
+        n_classes=n_classes,
+        k=k,
+        capacity=capacity,
+    )

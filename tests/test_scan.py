@@ -144,6 +144,7 @@ def test_scan_host_matches_device_states():
     states, last = scan_states(
         dev["table_flat"],
         dev["byte_class"],
+        dev["used_bytes"],
         jnp.asarray(data)[None, :],
         jnp.zeros((1,), jnp.int32),
         auto.n_classes,

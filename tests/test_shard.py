@@ -1,0 +1,64 @@
+"""Multi-device sharded scan on the simulated 8-device CPU mesh."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from php_aho_corasick_tpu import Matcher, ScanConfig
+
+
+def brute_force(patterns, text):
+    out = []
+    for pid, p in enumerate(patterns):
+        start = text.find(p)
+        while start != -1:
+            out.append((start + len(p), -len(p), pid))
+            start = text.find(p, start + 1)
+    out.sort()
+    return [(pos, pid) for pos, _, pid in out]
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sharded_equals_brute_force(seed):
+    rng = random.Random(seed)
+    alphabet = b"abc"
+    patterns = list({
+        bytes(rng.choice(alphabet) for _ in range(rng.randint(1, 7)))
+        for _ in range(20)
+    })
+    docs = [
+        bytes(rng.choice(alphabet) for _ in range(rng.randint(0, 4000)))
+        for _ in range(12)
+    ]
+    cfg = ScanConfig(backend="device", auto_shard=True, chunk_len=512,
+                     match_capacity=64)
+    c = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    res = c.match_many(docs)
+    for doc, recs in zip(docs, res):
+        assert [(r["pos"], r["keyIdx"]) for r in recs] == brute_force(patterns, doc)
+
+
+def test_sharded_equals_unsharded():
+    rng = random.Random(99)
+    patterns = [b"abcab", b"bca", b"aa"]
+    docs = [bytes(rng.choice(b"abc") for _ in range(8000)) for _ in range(5)]
+    pats = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    on = Matcher(pats, ScanConfig(backend="device", auto_shard=True)).match_many(docs)
+    off = Matcher(pats, ScanConfig(backend="device", auto_shard=False)).match_many(docs)
+    assert on == off
+
+
+def test_sharded_capacity_retry():
+    # tiny per-shard capacity; every byte matches
+    cfg = ScanConfig(backend="device", auto_shard=True, match_capacity=2,
+                     chunk_len=256)
+    c = Matcher(["a"], cfg)
+    res = c.match(b"a" * 5000)
+    assert len(res) == 5000
+    assert res[-1]["pos"] == 5000
