@@ -232,6 +232,42 @@ class Matcher:
                     results[i] = [r for r in recs if r["pos"] == first_pos]
         return results
 
+    # ------------------------------------------------------------ streaming
+
+    def stream(self):
+        """Open a :class:`~php_aho_corasick_tpu.stream.StreamScanner` — the
+        ``keep=1`` chunk-continuation mode (``ahocorasick.c:191-194``):
+        matches spanning feed boundaries ARE found, positions are global
+        stream offsets."""
+        from .stream import StreamScanner
+
+        if not self._valid:
+            warn("stream on a closed matcher")
+            raise StateError("matcher is closed")
+        return StreamScanner(self)
+
+    # ------------------------------------------------------------ replace
+
+    def replace(self, text, replacements, mode: str = "normal"):
+        """One-shot search-and-replace (NORMAL/LAZY nominee semantics of the
+        reference's MultiFast replace engine; see replace.py)."""
+        from . import replace as _replace
+
+        if not self._valid:
+            warn("replace on a closed matcher")
+            raise StateError("matcher is closed")
+        return _replace.replace(self, text, replacements, mode)
+
+    def replace_stream(self, replacements, mode: str = "normal"):
+        """Streaming replace over chunked input; returns a
+        :class:`~php_aho_corasick_tpu.replace.ReplaceStream`."""
+        from .replace import ReplaceStream
+
+        if not self._valid:
+            warn("replace_stream on a closed matcher")
+            raise StateError("matcher is closed")
+        return ReplaceStream(self, replacements, mode)
+
     def iter_matches(self, haystack: Haystack) -> Iterator[dict]:
         """Pull-style match iterator — capability parity with the reference's
         ``ac_trie_settext``/``ac_trie_findnext`` mode

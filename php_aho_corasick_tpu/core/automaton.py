@@ -135,6 +135,7 @@ def compile_trie(
         emit_start=emit_start.astype(np.int64),
         emit_pats=emit_pats.astype(np.int32),
         pat_lens=pat_lens,
+        state_depth=depth[inv].astype(np.int32),
         final_start=final_start,
         max_len=int(trie.max_len),
     )
@@ -150,6 +151,7 @@ def empty_automaton() -> CompiledAutomaton:
         emit_start=np.zeros(2, dtype=np.int64),
         emit_pats=np.zeros(0, dtype=np.int32),
         pat_lens=np.zeros(0, dtype=np.int32),
+        state_depth=np.zeros(1, dtype=np.int32),
         final_start=1,
         max_len=0,
     )

@@ -49,6 +49,9 @@ class CompiledAutomaton:
     emit_pats: np.ndarray
     #: ``[P]`` byte length of each accepted pattern.
     pat_lens: np.ndarray
+    #: ``[S]`` trie depth of each state (= length of the state's string);
+    #: used by the streaming-replace backlog cut (replace.c:529 analog).
+    state_depth: np.ndarray
     #: first final state id; ``state >= final_start`` <=> final.
     final_start: int
     #: longest accepted pattern in bytes (drives halo width = max_len - 1).
@@ -96,6 +99,7 @@ class CompiledAutomaton:
             emit_start=self.emit_start,
             emit_pats=self.emit_pats,
             pat_lens=self.pat_lens,
+            state_depth=self.state_depth,
             final_start=np.int64(self.final_start),
             max_len=np.int64(self.max_len),
             format_version=np.int64(1),
@@ -112,6 +116,7 @@ class CompiledAutomaton:
                 emit_start=z["emit_start"],
                 emit_pats=z["emit_pats"],
                 pat_lens=z["pat_lens"],
+                state_depth=z["state_depth"],
                 final_start=int(z["final_start"]),
                 max_len=int(z["max_len"]),
             )
@@ -147,6 +152,10 @@ class CompiledAutomaton:
         if self.emit_pats.size:
             assert self.emit_pats.min() >= 0
             assert self.emit_pats.max() < self.n_patterns
+        assert self.state_depth.shape == (S,)
+        assert self.state_depth[0] == 0
+        if S > 1:
+            assert int(self.state_depth.max()) == self.max_len
 
 
 def state_dtype(n_states: int, allow_int16: bool) -> np.dtype:

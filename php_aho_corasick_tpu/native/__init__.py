@@ -40,16 +40,16 @@ def _try_load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-s", "libaho_native.so"],
-                    cwd=_DIR,
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
+        try:  # make is a no-op when the .so is up to date w.r.t. sources
+            subprocess.run(
+                ["make", "-s", "libaho_native.so"],
+                cwd=_DIR,
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
                 _build_failed = True
                 return None
         try:
@@ -75,7 +75,7 @@ def _try_load() -> Optional[ctypes.CDLL]:
             fn.restype = ctypes.c_int
             fn.argtypes = [ctypes.c_void_p]
         lib.aho_export.argtypes = [
-            ctypes.c_void_p, _i32p, _i32p, _i64p, _i32p, _i32p
+            ctypes.c_void_p, _i32p, _i32p, _i64p, _i32p, _i32p, _i32p
         ]
         for name, tp in (("aho_oracle_scan", _i32p), ("aho_oracle_scan16", _i16p)):
             fn = getattr(lib, name)
@@ -136,6 +136,7 @@ class NativeTrieBuilder:
         emit_start = np.empty(S + 1, dtype=np.int64)
         emit_pats = np.empty(max(E, 1), dtype=np.int32)
         pat_lens = np.empty(max(P, 1), dtype=np.int32)
+        state_depth = np.empty(S, dtype=np.int32)
         lib.aho_export(
             self._h,
             table.ctypes.data_as(_i32p),
@@ -143,6 +144,7 @@ class NativeTrieBuilder:
             emit_start.ctypes.data_as(_i64p),
             emit_pats.ctypes.data_as(_i32p),
             pat_lens.ctypes.data_as(_i32p),
+            state_depth.ctypes.data_as(_i32p),
         )
         dt = state_dtype(int(S), allow_int16)
         return CompiledAutomaton(
@@ -151,6 +153,7 @@ class NativeTrieBuilder:
             emit_start=emit_start,
             emit_pats=emit_pats[:E],
             pat_lens=pat_lens[:P],
+            state_depth=state_depth,
             final_start=int(lib.aho_final_start(self._h)),
             max_len=int(lib.aho_max_len(self._h)),
         )

@@ -44,6 +44,7 @@ struct Builder {
   std::vector<int32_t> table;       // [S * C], renumbered
   std::vector<int64_t> emit_start;  // [S + 1]
   std::vector<int32_t> emit_pats;
+  std::vector<int32_t> state_depth; // [S], renumbered
   int64_t final_start = 0;
 
   Builder() { nodes.emplace_back(); }
@@ -169,6 +170,10 @@ int aho_builder_compile(Builder* b) {
     for (int j = 0; j < C; ++j) dst[j] = perm[src[j]];
   }
 
+  b->state_depth.resize(S);
+  for (int64_t ns = 0; ns < S; ++ns)
+    b->state_depth[ns] = b->nodes[inv[ns]].depth;
+
   // CSR emit: own pattern first, then failure chain (decreasing length)
   b->emit_start.assign(S + 1, 0);
   for (int64_t ns = 0; ns < S; ++ns)
@@ -198,7 +203,8 @@ int64_t aho_n_patterns(const Builder* b) {
 }
 
 void aho_export(const Builder* b, int32_t* table, int32_t* byte_class,
-                int64_t* emit_start, int32_t* emit_pats, int32_t* pat_lens) {
+                int64_t* emit_start, int32_t* emit_pats, int32_t* pat_lens,
+                int32_t* state_depth) {
   std::memcpy(table, b->table.data(), b->table.size() * sizeof(int32_t));
   std::memcpy(byte_class, b->byte_class, sizeof(b->byte_class));
   std::memcpy(emit_start, b->emit_start.data(),
@@ -207,6 +213,8 @@ void aho_export(const Builder* b, int32_t* table, int32_t* byte_class,
               b->emit_pats.size() * sizeof(int32_t));
   std::memcpy(pat_lens, b->pat_lens.data(),
               b->pat_lens.size() * sizeof(int32_t));
+  std::memcpy(state_depth, b->state_depth.data(),
+              b->state_depth.size() * sizeof(int32_t));
 }
 
 }  // extern "C"

@@ -1,0 +1,151 @@
+"""Streaming (keep=1) scanning, replace engine (NORMAL/LAZY), persistence."""
+
+import random
+
+import pytest
+
+from php_aho_corasick_tpu import AhoError, Matcher, ScanConfig
+from php_aho_corasick_tpu.utils.serialization import load_matcher, save_matcher
+
+
+# ------------------------------------------------------------- streaming
+
+def test_stream_finds_cross_chunk_matches(backend):
+    # the inverse of test6: streaming MUST join chunks
+    c = Matcher(
+        [{"key": "d", "value": "defghijkl"}, {"key": "a", "value": "abcd"}],
+        ScanConfig(backend=backend),
+    )
+    with c.stream() as st:
+        r1 = st.feed("abcde")
+        r2 = st.feed("fghij")
+        r3 = st.feed("klmno")
+    assert [x["value"] for x in r1] == ["abcd"]
+    assert r2 == []
+    assert [x["value"] for x in r3] == ["defghijkl"]
+    assert r3[0]["pos"] == 12 and r3[0]["start_postion"] == 3
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_stream_equals_one_shot(seed, backend):
+    rng = random.Random(seed)
+    pats = list({
+        bytes(rng.choice(b"ab") for _ in range(rng.randint(1, 6)))
+        for _ in range(10)
+    })
+    text = bytes(rng.choice(b"ab") for _ in range(5000))
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(pats)],
+                ScanConfig(backend=backend))
+    whole = m.match(text)
+
+    streamed = []
+    with m.stream() as st:
+        i = 0
+        while i < len(text):
+            n = rng.randint(1, 400)
+            streamed.extend(st.feed(text[i : i + n]))
+            i += n
+    assert streamed == whole
+
+
+def test_stream_reset(backend):
+    m = Matcher(["abcd"], ScanConfig(backend=backend))
+    st = m.stream()
+    assert st.feed("ab") == []
+    st.reset()
+    assert st.feed("cd") == []  # no join across reset
+    assert st.feed("abcd")[0]["pos"] == 6
+
+
+# ------------------------------------------------------------- replace
+
+def test_replace_basic(backend):
+    m = Matcher(["cat", "dog"], ScanConfig(backend=backend))
+    out = m.replace("a cat, a dog, a catalog", {"cat": "tiger", "dog": "wolf"})
+    assert out == "a tiger, a wolf, a tigeralog"
+
+
+def test_replace_normal_longest_swallows_factors(backend):
+    # NORMAL: 'abcd' swallows nested 'bc' (replace.h:34-40)
+    m = Matcher(["abcd", "bc"], ScanConfig(backend=backend))
+    assert m.replace(b"xabcdx", {b"abcd": b"[A]", b"bc": b"[B]"}) == b"x[A]x"
+
+
+def test_replace_normal_overlap_both_replaced(backend):
+    # overlapping (not nested) patterns: both are booked; splice consumes
+    # them in order, the second's overlapping bytes are gone
+    m = Matcher(["abc", "cde"], ScanConfig(backend=backend))
+    out = m.replace(b"zabcdez", {b"abc": b"<1>", b"cde": b"<2>"})
+    assert out == b"z<1><2>z"
+
+
+def test_replace_lazy_first_wins(backend):
+    # LAZY: short factor 'bc' ends first inside 'abcd'?? no — 'bc' ends at 3,
+    # 'abcd' ends at 4; first COMPLETED match wins (replace.h:41-46)
+    m = Matcher(["abcd", "bc"], ScanConfig(backend=backend))
+    assert m.replace(b"xabcdx", {b"abcd": b"[A]", b"bc": b"[B]"},
+                     mode="lazy") == b"xa[B]dx"
+
+
+def test_replace_only_some_patterns_have_replacements(backend):
+    m = Matcher(["aa", "bb"], ScanConfig(backend=backend))
+    assert m.replace(b"aabb", {b"aa": b"X"}) == b"Xbb"
+
+
+def test_replace_no_replaceable_patterns_raises(backend):
+    m = Matcher(["aa"], ScanConfig(backend=backend))
+    with pytest.raises(AhoError):
+        m.replace(b"aa", {b"zz": b"X"})  # reference: -2 (replace.c:483)
+
+
+@pytest.mark.parametrize("mode", ["normal", "lazy"])
+@pytest.mark.parametrize("seed", range(3))
+def test_replace_stream_equals_one_shot(mode, seed, backend):
+    rng = random.Random(seed)
+    pats = [b"aba", b"bab", b"aa", b"abab"]
+    rmap = {b"aba": b"<X>", b"aa": b"<Y>", b"abab": b"<LONG>"}
+    text = bytes(rng.choice(b"ab") for _ in range(3000))
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(pats)],
+                ScanConfig(backend=backend))
+    want = m.replace(text, rmap, mode)
+
+    rs = m.replace_stream(rmap, mode)
+    out = bytearray()
+    i = 0
+    while i < len(text):
+        n = rng.randint(1, 250)
+        out += rs.feed(text[i : i + n])
+        i += n
+    out += rs.flush()
+    assert bytes(out) == want
+
+
+def test_replace_str_roundtrip(backend):
+    m = Matcher(["héllo"], ScanConfig(backend=backend))
+    assert m.replace("say héllo!", {"héllo": "goodbye"}) == "say goodbye!"
+
+
+# ------------------------------------------------------------- save/load
+
+def test_save_load_matcher(tmp_path, backend):
+    pats = [
+        {"key": "ab", "value": "alfa"},
+        {"id": 3, "value": "zeta"},
+        {"value": "lfa", "aux": {"x": 1}},
+    ]
+    m = Matcher(pats, ScanConfig(backend=backend))
+    p = tmp_path / "m.npz"
+    save_matcher(m, p, with_aux=True)
+    m2 = load_matcher(p, ScanConfig(backend=backend))
+    hay = "alFABETA zeta alfa!"
+    assert m2.match(hay) == m.match(hay)
+    assert m2.match(hay)[-1]["aux"] == {"x": 1}
+
+
+def test_load_without_aux(tmp_path, backend):
+    m = Matcher([{"value": "ab", "aux": object()}], ScanConfig(backend=backend))
+    p = tmp_path / "m.npz"
+    save_matcher(m, p)  # aux not persisted
+    m2 = load_matcher(p, ScanConfig(backend=backend))
+    rec = m2.match("ab")[0]
+    assert rec["aux"] is None and "aux" in rec  # aux presence preserved
