@@ -46,6 +46,8 @@ from .patterns import Pattern, parse_batch
 
 Haystack = Union[str, bytes, bytearray]
 
+_UNSET = object()
+
 
 class StateError(AhoError):
     """Operation on a closed/uninitialized matcher, or a lifecycle-order
@@ -80,6 +82,7 @@ class Matcher:
         self._auto: Optional[CompiledAutomaton] = None
         self._model: Optional[DenseDfaModel] = None
         self._kmodel = None
+        self._cascade = _UNSET
         self._finalized = False
         self._valid = True
         if patterns is not None:
@@ -332,10 +335,38 @@ class Matcher:
             self._kmodel = KgramDfaModel(self.automaton, self.config)
         return self._kmodel
 
+    @property
+    def cascade_model(self):
+        """Lazily-planned cascade filter model (models/cascade.py);
+        ``None`` when the pattern set is ineligible."""
+        if self._cascade is _UNSET:
+            from .models.cascade import CascadeModel, plan_cascade
+
+            plan = plan_cascade(
+                [p.value for p in self._patterns], self.automaton, self.config
+            )
+            self._cascade = (
+                CascadeModel(self.automaton, plan, self.config)
+                if plan.eligible
+                else None
+            )
+        return self._cascade
+
     def _pick_engine(self, total_payload: int) -> str:
         cfg = self.config
         if cfg.engine in ("dfa", "kgram"):
             return cfg.engine
+        if cfg.engine == "cascade":
+            if self.cascade_model is None:
+                raise ValueError(
+                    "cascade engine forced but pattern set is ineligible"
+                )
+            return "cascade"
+        if (
+            total_payload >= cfg.cascade_min_bytes
+            and self.cascade_model is not None
+        ):
+            return "cascade"
         if total_payload >= cfg.kgram_min_bytes and self.kgram_model.k >= 2:
             return "kgram"
         return "dfa"
@@ -360,7 +391,23 @@ class Matcher:
         packed = pack_documents(docs, self.config.chunk_len, halo, batch_pad)
         capacity = self.config.match_capacity
 
-        if engine == "kgram":
+        if engine == "cascade":
+            cm = self.cascade_model
+            if use_mesh:
+                idx_np, n = self._run_sharded_cascade(packed, capacity)
+            else:
+                while True:
+                    idx, n = cm.scan_candidates(
+                        packed.chunks, packed.lengths, packed.emit_from,
+                        capacity,
+                    )
+                    n = int(n)
+                    if n <= capacity:
+                        break
+                    capacity = _next_pow2(n)
+                idx_np = np.asarray(idx)
+            it = cm.verify(packed, idx_np, n)
+        elif engine == "kgram":
             k = self.kgram_model.k
             if use_mesh:
                 cells_np, prevs_np, n = self._run_sharded(
@@ -404,6 +451,36 @@ class Matcher:
             out = results[d]
             for pid in pids:
                 out.append(self._format(int(pid), pos))
+
+    def _run_sharded_cascade(self, packed: PackedRows, capacity: int):
+        """Mesh-sharded cascade candidate filter with exact retry."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import data_mesh
+        from .parallel.shard_scan import sharded_filter_candidates
+
+        mesh = data_mesh()
+        row = NamedSharding(mesh, P("data"))
+        chunks = jax.device_put(jnp.asarray(packed.chunks), row)
+        lengths = jax.device_put(jnp.asarray(packed.lengths), row)
+        emit_from = jax.device_put(jnp.asarray(packed.emit_from), row)
+        cm = self.cascade_model
+        while True:
+            idx, counts = sharded_filter_candidates(
+                mesh, cm, chunks, lengths, emit_from, capacity
+            )
+            counts_np = np.asarray(counts)
+            if counts_np.max(initial=0) <= capacity:
+                break
+            capacity = _next_pow2(int(counts_np.max()))
+        idx2d = np.asarray(idx)
+        parts = [idx2d[s, : counts_np[s]] for s in range(idx2d.shape[0])]
+        merged = (
+            np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        )
+        return merged, int(counts_np.sum())
 
     def _run_sharded(self, packed: PackedRows, capacity: int, engine: str):
         """Mesh-sharded scan with exact capacity-retry (see parallel/)."""

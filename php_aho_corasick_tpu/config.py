@@ -68,6 +68,26 @@ class ScanConfig:
     #: (the k-gram table build is amortized only by large corpora).
     kgram_min_bytes: int = 1 << 20
 
+    #: log2 of per-stage bloom filter bits for the cascade engine.
+    cascade_log2_bloom_bits: int = 17
+
+    #: patterns shorter than this are handled by exact compare-select in
+    #: the cascade engine (longer ones go through the gram blooms).
+    cascade_min_q: int = 4
+
+    #: more short patterns than this disqualifies the cascade engine
+    #: (compare-select cost grows linearly with short-pattern count).
+    cascade_max_shorts: int = 16
+
+    #: max bloom fill ratio before the cascade is considered useless.
+    cascade_max_fill: float = 0.25
+
+    #: with engine="auto", scans at least this large prefer the cascade.
+    cascade_min_bytes: int = 1 << 20
+
+    #: bloom lookup implementation: "auto", "take", "matmul", "pallas".
+    bloom_impl: str = "auto"
+
     #: With backend="auto", total haystack bytes at or below this run on the
     #: host scalar scanner — device dispatch overhead dominates tiny scans.
     host_scan_threshold: int = 4096

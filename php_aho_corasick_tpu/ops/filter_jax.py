@@ -1,0 +1,176 @@
+"""Gram-filter cascade device kernel (XLA path).
+
+The gather-free scan strategy (docs/PERF_NOTES.md engine 3): instead of
+walking the DFA over every byte (gather-bound at ~100M bytes/s on v5e),
+every position is tested as a potential match *start* with pure VPU/MXU
+work:
+
+1. byte -> class (compare-select, no gather);
+2. rolling q-gram class codes at every position (shift-multiply-add);
+3. per stage ``s`` at offset ``o_s``: a hashed-bloom membership test of the
+   code at ``p + o_s`` against the set of q-grams appearing at offset
+   ``o_s`` in any long pattern;
+4. short patterns (< q bytes) are matched exactly by compare-select and
+   simply OR their start positions into the candidate mask;
+5. surviving candidate starts are compacted (fixed capacity + exact
+   retry) and verified on the host by a vectorized root walk
+   (models/cascade.py) — work proportional to candidate density.
+
+Soundness: a true match starting at ``p`` always passes every stage (its
+grams are in the blooms by construction; shorts are exact), so candidates
+are a superset of true starts; verification removes false positives.
+Bloom lookups themselves need a (tiny-table) gather; implementations:
+
+* ``take``: one ``jnp.take`` per stage — simple, portable; still ~25x
+  cheaper than the DFA when 2 stages replace per-byte gathers only at
+  candidate positions... (it is per-position, so on TPU prefer:)
+* ``matmul``: one-hot f32 matmul against the bloom words (MXU);
+* ``pallas``: lane-local ``take_along_axis`` bank gather (ops/filter_pallas).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .scan_jax import INT32_MAX, _classes
+
+KNUTH = 2654435761  # Knuth multiplicative hash constant
+
+
+def gram_codes(cls: jax.Array, q: int, n_classes: int) -> jax.Array:
+    """Rolling base-C q-gram codes: ``code[p]`` covers ``cls[p : p+q]``
+    (positions whose gram would overrun the row read trailing zeros —
+    harmless, those positions cannot start an owned full match).
+    Codes wrap in int32; the bloom hash only needs determinism."""
+    B, L = cls.shape
+    pad = jnp.zeros((B, q - 1), jnp.int32)
+    ext = jnp.concatenate([cls, pad], axis=1)
+    code = jnp.zeros((B, L), jnp.int32)
+    for j in range(q):
+        code = code * n_classes + jax.lax.dynamic_slice_in_dim(ext, j, L, 1)
+    return code
+
+
+def bloom_slots(code: jax.Array, log2_bits: int, salt: int) -> jax.Array:
+    """Multiplicative hash of a gram code into a bloom slot index."""
+    h = (code.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+    return (h >> jnp.uint32(32 - log2_bits)).astype(jnp.int32)
+
+
+def bloom_hit_take(words: jax.Array, slots: jax.Array) -> jax.Array:
+    w = jnp.take(words, slots >> 5)
+    return (w >> (slots & 31)) & 1
+
+
+def bloom_hit_matmul(words: jax.Array, slots: jax.Array) -> jax.Array:
+    """Word fetch via one-hot f32 matmul (MXU — no gather unit).
+
+    f32 mantissa holds 24 bits exactly, so each 32-bit bloom word is split
+    into two 16-bit halves and both are fetched in one [.., W] @ [W, 2]
+    product."""
+    shape = slots.shape
+    flat = slots.reshape(-1)
+    W = words.shape[0]
+    lo = (words & 0xFFFF).astype(jnp.float32)
+    hi = ((words >> 16) & 0xFFFF).astype(jnp.float32)
+    halves = jnp.stack([lo, hi], axis=1)  # [W, 2]
+    onehot = jax.nn.one_hot(flat >> 5, W, dtype=jnp.float32)  # [N, W]
+    got = onehot @ halves  # [N, 2]
+    word = got[:, 0].astype(jnp.int32) | (got[:, 1].astype(jnp.int32) << 16)
+    return (((word >> (flat & 31)) & 1)).reshape(shape)
+
+
+def short_pattern_mask(
+    chunks: jax.Array, shorts: Sequence[bytes]
+) -> jax.Array:
+    """Exact start positions of short patterns via compare-select."""
+    B, L = chunks.shape
+    mask = jnp.zeros((B, L), jnp.bool_)
+    maxs = max((len(s) for s in shorts), default=0)
+    if maxs == 0:
+        return mask
+    pad = jnp.zeros((B, maxs), jnp.uint8)
+    ext = jnp.concatenate([chunks, pad], axis=1)
+    for s in shorts:
+        eq = jnp.ones((B, L), jnp.bool_)
+        for j, byte in enumerate(s):
+            eq &= (
+                jax.lax.dynamic_slice_in_dim(ext, j, L, 1)
+                == jnp.uint8(byte)
+            )
+        mask |= eq
+    return mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_classes", "q", "offsets", "log2_bits", "salts", "shorts",
+        "bloom_impl", "capacity",
+    ),
+)
+def filter_candidates(
+    bloom_words: jax.Array,  # [n_stages, bits/32] int32
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8
+    lengths: jax.Array,  # [B] int32
+    emit_from: jax.Array,  # [B] int32
+    min_long_len: jax.Array,  # scalar int32 (0 disables the long path)
+    n_classes: int,
+    q: int,
+    offsets: Tuple[int, ...],
+    log2_bits: int,
+    salts: Tuple[int, ...],
+    shorts: Tuple[bytes, ...],
+    bloom_impl: str,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Candidate-start compaction.  Returns ``(start_idx [capacity],
+    n_candidates)`` where ``start_idx`` holds flattened ``b * L + p``
+    ascending, INT32_MAX-padded.
+
+    A position is a candidate iff it passes every bloom stage (potential
+    long-pattern start) or exactly begins a short pattern, and a match
+    starting there could own an emission in this row: its earliest
+    possible end must fall before ``length`` and its latest possible end
+    after ``emit_from`` (ownership itself is re-checked exactly during
+    host verification)."""
+    B, L = chunks.shape
+    cls = _classes(chunks, byte_class, used_bytes)
+    if bloom_impl == "matmul":
+        hit = bloom_hit_matmul
+    elif bloom_impl == "pallas":
+        from .filter_pallas import bloom_hit_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        hit = functools.partial(bloom_hit_pallas, interpret=interpret)
+    else:
+        hit = bloom_hit_take
+
+    code = gram_codes(cls, q, n_classes)
+    pad = jnp.zeros((B, max(offsets) if offsets else 0), jnp.int32)
+    code_ext = jnp.concatenate([code, pad], axis=1) if offsets else code
+    cand = jnp.ones((B, L), jnp.bool_)
+    for s, (off, salt) in enumerate(zip(offsets, salts)):
+        code_o = jax.lax.dynamic_slice_in_dim(code_ext, off, L, 1)
+        slots = bloom_slots(code_o, log2_bits, salt)
+        cand &= hit(bloom_words[s], slots).astype(jnp.bool_)
+    # long-pattern starts need at least min_long_len bytes left in the row
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    cand &= p_idx + min_long_len <= lengths[:, None]
+    cand &= min_long_len > 0
+
+    if shorts:
+        cand |= short_pattern_mask(chunks, shorts)
+    # any match from start p ends at >= p (length >= 1): drop starts whose
+    # best-case end still precedes the emission window
+    cand &= p_idx < lengths[:, None]
+    flat = cand.reshape(-1)
+    n = flat.sum(dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=INT32_MAX)
+    return idx.astype(jnp.int32), n

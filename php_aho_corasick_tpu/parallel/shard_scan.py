@@ -155,6 +155,92 @@ def _sharded_call_kgram(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_classes", "q", "offsets", "log2_bits", "salts", "shorts",
+        "bloom_impl", "capacity",
+    ),
+)
+def _sharded_call_cascade(
+    bloom_words,
+    byte_class,
+    used_bytes,
+    chunks,
+    lengths,
+    emit_from,
+    min_long_len,
+    *,
+    mesh: Mesh,
+    n_classes: int,
+    q: int,
+    offsets,
+    log2_bits: int,
+    salts,
+    shorts,
+    bloom_impl: str,
+    capacity: int,
+):
+    from ..ops.filter_jax import filter_candidates
+
+    data, rep = P(DATA_AXIS), P()
+
+    def local_fn(bw, bc, ub, ch, ln, ef, mll):
+        idx, n = filter_candidates(
+            bw, bc, ub, ch, ln, ef, mll,
+            n_classes=n_classes, q=q, offsets=offsets, log2_bits=log2_bits,
+            salts=salts, shorts=shorts, bloom_impl=bloom_impl,
+            capacity=capacity,
+        )
+        shard = jax.lax.axis_index(DATA_AXIS)
+        local_cells = ch.shape[0] * ch.shape[1]
+        idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
+        return idx[None], n[None]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, data, data, data, rep),
+        out_specs=(data, data),
+    )
+    return fn(
+        bloom_words, byte_class, used_bytes, chunks, lengths, emit_from,
+        min_long_len,
+    )
+
+
+def sharded_filter_candidates(
+    mesh: Mesh,
+    cascade_model,
+    chunks,
+    lengths,
+    emit_from,
+    capacity: int,
+):
+    """Sharded cascade candidate filter.  Returns ``(idx [n_shards, cap],
+    counts [n_shards])`` with global flattened start indices."""
+    plan = cascade_model.plan
+    dev = cascade_model.device_arrays
+    return _sharded_call_cascade(
+        dev["bloom_words"],
+        dev["byte_class"],
+        dev["used_bytes"],
+        chunks,
+        lengths,
+        emit_from,
+        dev["min_long_len"],
+        mesh=mesh,
+        n_classes=cascade_model.auto.n_classes,
+        q=plan.q,
+        offsets=plan.offsets,
+        log2_bits=plan.log2_bits,
+        salts=plan.salts,
+        shorts=plan.shorts,
+        bloom_impl=cascade_model.bloom_impl(),
+        capacity=capacity,
+    )
+
+
 def sharded_scan_compact_kgram(
     mesh: Mesh,
     dev_arrays: dict,
