@@ -83,6 +83,9 @@ class Matcher:
         self._model: Optional[DenseDfaModel] = None
         self._kmodel = None
         self._cascade = _UNSET
+        from .utils.logging import ScanStats
+
+        self.stats = ScanStats()
         self._finalized = False
         self._valid = True
         if patterns is not None:
@@ -225,8 +228,10 @@ class Matcher:
         total = sum(len(d) for d in docs)
         if be == "host" or (be == "auto" and total <= self.config.host_scan_threshold):
             self._scan_host(docs, results)
+            self.stats.record("scalar", "host", total, sum(map(len, results)))
         else:
-            self._scan_device(docs, results)
+            engine = self._scan_device(docs, results)
+            self.stats.record(engine, "device", total, sum(map(len, results)))
 
         if not find_all:
             for i, recs in enumerate(results):
@@ -451,6 +456,7 @@ class Matcher:
             out = results[d]
             for pid in pids:
                 out.append(self._format(int(pid), pos))
+        return engine
 
     def _run_sharded_cascade(self, packed: PackedRows, capacity: int):
         """Mesh-sharded cascade candidate filter with exact retry."""

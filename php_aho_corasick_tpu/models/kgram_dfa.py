@@ -90,7 +90,12 @@ class KgramDfaModel:
     @property
     def ktable_host(self) -> np.ndarray:
         if self._ktable_host is None:
-            self._ktable_host = build_kgram_table(self.auto, self.k)
+            from .. import native
+
+            if self.config.prefer_native_builder and native.available():
+                self._ktable_host = native.kgram_build(self.auto, self.k)
+            else:
+                self._ktable_host = build_kgram_table(self.auto, self.k)
         return self._ktable_host
 
     @property

@@ -77,6 +77,10 @@ def _try_load() -> Optional[ctypes.CDLL]:
         lib.aho_export.argtypes = [
             ctypes.c_void_p, _i32p, _i32p, _i64p, _i32p, _i32p, _i32p
         ]
+        lib.aho_kgram_build.argtypes = [
+            _i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, _i32p,
+        ]
         for name, tp in (("aho_oracle_scan", _i32p), ("aho_oracle_scan16", _i16p)):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -168,6 +172,25 @@ def build_native(
     b = NativeTrieBuilder(max_pattern_length)
     statuses = [b.add(p) for p in patterns]
     return b.compile(allow_int16), statuses
+
+
+def kgram_build(auto: CompiledAutomaton, k: int) -> np.ndarray:
+    """Compose the packed k-gram table in C++ (see models/kgram_dfa.py)."""
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    S, C = auto.table.shape
+    table1 = np.ascontiguousarray(auto.table, dtype=np.int32)
+    out = np.empty(S * C**k, dtype=np.int32)
+    lib.aho_kgram_build(
+        table1.ctypes.data_as(_i32p),
+        S,
+        C,
+        auto.final_start,
+        k,
+        out.ctypes.data_as(_i32p),
+    )
+    return out
 
 
 def oracle_scan(

@@ -217,4 +217,41 @@ void aho_export(const Builder* b, int32_t* table, int32_t* byte_class,
               b->state_depth.size() * sizeof(int32_t));
 }
 
+// ---------------------------------------------------------------------------
+// k-gram super-transition composition (see models/kgram_dfa.py for the
+// table semantics: entry = end_state | (mid_final_flag << 30)).  The numpy
+// composition materializes multi-hundred-MB intermediates; this streams the
+// final table in one pass per level.
+
+static constexpr int32_t kKgramStateMask = (1 << 30) - 1;
+static constexpr int32_t kKgramMidFlag = 1 << 30;
+
+extern "C" void aho_kgram_build(const int32_t* table1, int64_t S, int C,
+                                int64_t final_start, int k, int32_t* out) {
+  // level 1: plain transitions, no flag
+  int64_t cols = C;
+  std::vector<int32_t> cur(table1, table1 + S * C);
+  for (int level = 2; level <= k; ++level) {
+    const int64_t next_cols = cols * C;
+    std::vector<int32_t> nxt(static_cast<size_t>(S) * next_cols);
+    for (int64_t s = 0; s < S; ++s) {
+      const int32_t* row = &cur[s * cols];
+      int32_t* orow = &nxt[s * next_cols];
+      for (int64_t code = 0; code < cols; ++code) {
+        const int32_t e = row[code];
+        const int32_t mid = e & kKgramMidFlag;
+        const int32_t st = e & kKgramStateMask;
+        const int32_t flag =
+            mid | (st >= final_start ? kKgramMidFlag : 0);
+        const int32_t* t1row = &table1[static_cast<int64_t>(st) * C];
+        int32_t* dst = &orow[code * C];
+        for (int c = 0; c < C; ++c) dst[c] = t1row[c] | flag;
+      }
+    }
+    cur.swap(nxt);
+    cols = next_cols;
+  }
+  std::memcpy(out, cur.data(), cur.size() * sizeof(int32_t));
+}
+
 }  // extern "C"

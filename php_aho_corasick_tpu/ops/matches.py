@@ -59,33 +59,50 @@ def pack_documents(
     halo: int,
     batch_pad: int = 8,
 ) -> PackedRows:
-    """Cut documents into halo-overlapped rows and pad to a fixed shape."""
-    rows: List[Tuple[int, int, int, bytes]] = []  # (doc, off, emit_from, data)
+    """Cut documents into halo-overlapped rows and pad to a fixed shape.
+
+    Vectorized: one corpus concatenation + one fancy-gather builds the
+    whole ``[B, L]`` batch (the python loop is per *document*, not per
+    row/byte)."""
+    meta: List[Tuple[int, int, int, int]] = []  # (doc, off, emit_from, len)
+    doc_off: List[int] = []  # corpus offset of each row's doc
+    pos = 0
     for d, doc in enumerate(docs):
         n = len(doc)
         if n == 0:
+            pos += n
             continue
         if n <= chunk_len:
-            rows.append((d, 0, 0, doc))
-            continue
-        for start in range(0, n, chunk_len):
-            row_start = max(0, start - halo)
-            row = doc[row_start : min(start + chunk_len, n)]
-            rows.append((d, row_start, start - row_start, row))
+            meta.append((d, 0, 0, n))
+            doc_off.append(pos)
+        else:
+            for start in range(0, n, chunk_len):
+                row_start = max(0, start - halo)
+                row_len = min(start + chunk_len, n) - row_start
+                meta.append((d, row_start, start - row_start, row_len))
+                doc_off.append(pos)
+        pos += n
 
-    B = max(_round_up(max(len(rows), 1), batch_pad), batch_pad)
-    L = _round_up(max((len(r[3]) for r in rows), default=1), ROW_ALIGN)
+    B = max(_round_up(max(len(meta), 1), batch_pad), batch_pad)
+    L = _round_up(max((m[3] for m in meta), default=1), ROW_ALIGN)
     chunks = np.zeros((B, L), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     emit_from = np.zeros(B, dtype=np.int32)
     doc_id = np.full(B, -1, dtype=np.int32)
     global_off = np.zeros(B, dtype=np.int64)
-    for i, (d, off, ef, data) in enumerate(rows):
-        chunks[i, : len(data)] = np.frombuffer(data, dtype=np.uint8)
-        lengths[i] = len(data)
-        emit_from[i] = ef
-        doc_id[i] = d
-        global_off[i] = off
+    if meta:
+        flat = np.frombuffer(b"".join(docs), dtype=np.uint8)
+        mi = np.asarray(meta, dtype=np.int64)  # [R, 4]
+        R = mi.shape[0]
+        doc_id[:R] = mi[:, 0]
+        global_off[:R] = mi[:, 1]
+        emit_from[:R] = mi[:, 2]
+        lengths[:R] = mi[:, 3]
+        starts = np.asarray(doc_off, dtype=np.int64) + mi[:, 1]
+        idx = starts[:, None] + np.arange(L)[None, :]
+        valid = np.arange(L)[None, :] < mi[:, 3][:, None]
+        np.clip(idx, 0, flat.shape[0] - 1, out=idx)
+        chunks[:R] = np.where(valid, flat[idx], 0)
     return PackedRows(chunks, lengths, emit_from, doc_id, global_off)
 
 

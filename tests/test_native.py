@@ -101,3 +101,13 @@ def test_matcher_native_vs_python_builder_goldens():
     a = Matcher(pats, ScanConfig(prefer_native_builder=True)).match(hay)
     b = Matcher(pats, ScanConfig(prefer_native_builder=False)).match(hay)
     assert a == b and len(a) == 4
+
+
+def test_native_kgram_build_matches_numpy():
+    from php_aho_corasick_tpu.models.kgram_dfa import build_kgram_table
+
+    auto, _ = native.build_native([b"he", b"she", b"his", b"hers"])
+    for k in (2, 4):
+        nat = native.kgram_build(auto, k)
+        ref = build_kgram_table(auto, k)
+        np.testing.assert_array_equal(nat, ref)
