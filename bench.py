@@ -70,7 +70,7 @@ def main() -> None:
     emit_from = jnp.asarray(packed.emit_from)
 
     def launch():
-        cells, prevs, entries, n, carry = km.scan_compact_device(
+        cells, prevs, n, carry = km.scan_compact_device(
             chunks, lengths, emit_from, None, cfg.match_capacity
         )
         return int(n)  # host fetch forces completion (axon: never trust

@@ -13,6 +13,10 @@ Smaller/quicker:  python benchmarks/benchmark_reference.py --samples 3 --naive-n
 """
 
 import argparse
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import random
 import time
 

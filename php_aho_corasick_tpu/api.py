@@ -420,7 +420,7 @@ class Matcher:
                 )
             else:
                 while True:
-                    cells, prevs, _entries, n, _ = (
+                    cells, prevs, n, _ = (
                         self.kgram_model.scan_compact_device(
                             packed.chunks, packed.lengths, packed.emit_from,
                             None, capacity,
@@ -525,7 +525,7 @@ class Matcher:
         dev["final_start"] = jax.device_put(jnp.int32(auto.final_start), rep)
         while True:
             if engine == "kgram":
-                idx, aux, _entries, counts, _ = sharded_scan_compact_kgram(
+                idx, aux, counts, _ = sharded_scan_compact_kgram(
                     mesh, dev, chunks, init, lengths, emit_from,
                     n_classes=auto.n_classes, k=self.kgram_model.k,
                     capacity=capacity,

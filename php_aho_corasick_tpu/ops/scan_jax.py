@@ -151,21 +151,19 @@ def scan_and_compact_kgram(
     n_classes: int,
     k: int,
     capacity: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """k-bytes-per-gather scan + cell-level compaction.
 
     A *cell* is a k-byte window (cell ``j`` of row ``b`` covers positions
     ``[j*k, (j+1)*k)``).  A cell is flagged when its entry's mid-final flag
     is set or its end state is final, and it overlaps the row's
     ``[emit_from, length)`` emission window.  Output per flagged cell:
-    flattened cell index, the state *entering* the cell, and the packed
-    entry.  The host re-walks each flagged cell's k bytes through the
-    1-gram table to recover exact per-position matches
-    (ops/matches.py expand_matches_kgram) — work proportional to matches,
-    not corpus size.
+    flattened cell index and the state *entering* the cell.  The host
+    re-walks each flagged cell's k bytes through the 1-gram table to
+    recover exact per-position matches (ops/matches.py
+    expand_matches_kgram) — work proportional to matches, not corpus size.
 
-    Returns ``(cell_idx [cap], prev_state [cap], entry [cap], n_cells,
-    carry_state [B])``.
+    Returns ``(cell_idx [cap], prev_state [cap], n_cells, carry [B])``.
     """
     B, L = chunks.shape
     assert L % k == 0
@@ -180,28 +178,27 @@ def scan_and_compact_kgram(
     def step(state, code_t):
         entry = jnp.take(ktable, state * (n_classes**k) + code_t)
         ns = entry & KGRAM_STATE_MASK
-        return ns, (state, entry)
+        # pack "this cell contains a final position" into the sign bit of
+        # the emitted prev-state (one output array instead of two)
+        interesting = ((entry & KGRAM_MID_FLAG) != 0) | (ns >= final_start)
+        packed = state | jnp.where(interesting, jnp.int32(-(2**31)), 0)
+        return ns, packed
 
-    carry, (prevs, entries) = jax.lax.scan(
-        step, init_state, code.T
-    )  # [Lc, B] each
-    prevs = prevs.T
-    entries = entries.T
+    carry, packed = jax.lax.scan(step, init_state, code.T)  # [Lc, B]
+    packed = packed.T
 
     cell_i = jax.lax.broadcasted_iota(jnp.int32, (B, n_cells_row), 1)
-    interesting = ((entries & KGRAM_MID_FLAG) != 0) | (
-        (entries & KGRAM_STATE_MASK) >= final_start
-    )
     overlaps = (cell_i * k < lengths[:, None]) & (
         (cell_i + 1) * k > emit_from[:, None]
     )
-    flagged = (interesting & overlaps).reshape(-1)
+    flagged = ((packed < 0) & overlaps).reshape(-1)
     n_flagged = flagged.sum(dtype=jnp.int32)
     (idx,) = jnp.nonzero(flagged, size=capacity, fill_value=INT32_MAX)
     idx = idx.astype(jnp.int32)
     safe = jnp.minimum(idx, B * n_cells_row - 1)
-    out_prev = jnp.where(idx < INT32_MAX, jnp.take(prevs.reshape(-1), safe), -1)
-    out_entry = jnp.where(
-        idx < INT32_MAX, jnp.take(entries.reshape(-1), safe), -1
+    out_prev = jnp.where(
+        idx < INT32_MAX,
+        jnp.take(packed.reshape(-1), safe) & KGRAM_STATE_MASK,
+        -1,
     )
-    return idx, out_prev, out_entry, n_flagged, carry
+    return idx, out_prev, n_flagged, carry

@@ -134,20 +134,20 @@ def _sharded_call_kgram(
     data, rep = P(DATA_AXIS), P()
 
     def local_fn(kt, bc, ub, ch, ini, ln, ef, fs):
-        idx, prevs, entries, n, carry = scan_and_compact_kgram(
+        idx, prevs, n, carry = scan_and_compact_kgram(
             kt, bc, ub, ch, ini, ln, ef, fs,
             n_classes=n_classes, k=k, capacity=capacity,
         )
         shard = jax.lax.axis_index(DATA_AXIS)
         local_cells = ch.shape[0] * (ch.shape[1] // k)
         idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
-        return idx[None], prevs[None], entries[None], n[None], carry
+        return idx[None], prevs[None], n[None], carry
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(rep, rep, rep, data, data, data, data, rep),
-        out_specs=(data, data, data, data, data),
+        out_specs=(data, data, data, data),
     )
     return fn(
         ktable, byte_class, used_bytes, chunks, init_state, lengths,
@@ -254,8 +254,7 @@ def sharded_scan_compact_kgram(
 ):
     """Sharded k-gram scan (see models/kgram_dfa.py).  Returns
     ``(cell_idx [n_shards, cap], prev_state [n_shards, cap],
-    entries [n_shards, cap], counts [n_shards], carry [B])`` with
-    global cell indices."""
+    counts [n_shards], carry [B])`` with global cell indices."""
     return _sharded_call_kgram(
         dev_arrays["ktable"],
         dev_arrays["byte_class"],
