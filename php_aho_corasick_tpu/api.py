@@ -230,7 +230,26 @@ class Matcher:
             self._scan_host(docs, results)
             self.stats.record("scalar", "host", total, sum(map(len, results)))
         else:
-            engine = self._scan_device(docs, results)
+            # split oversized corpora into multiple launches (documents are
+            # independent, so this is exact; bounds device memory and keeps
+            # flattened cell indices inside int32)
+            limit = self.config.max_launch_bytes
+            group: List[int] = []
+            group_bytes = 0
+            groups: List[List[int]] = []
+            for i, d in enumerate(docs):
+                if group and group_bytes + len(d) > limit:
+                    groups.append(group)
+                    group, group_bytes = [], 0
+                group.append(i)
+                group_bytes += len(d)
+            if group:
+                groups.append(group)
+            for g in groups:
+                sub_results: List[List[dict]] = [[] for _ in g]
+                engine = self._scan_device([docs[i] for i in g], sub_results)
+                for i, r in zip(g, sub_results):
+                    results[i] = r
             self.stats.record(engine, "device", total, sum(map(len, results)))
 
         if not find_all:

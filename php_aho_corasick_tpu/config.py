@@ -88,6 +88,11 @@ class ScanConfig:
     #: bloom lookup implementation: "auto", "take", "matmul", "pallas".
     bloom_impl: str = "auto"
 
+    #: corpora larger than this are scanned in multiple device launches
+    #: (documents are independent, so splitting is exact); also keeps
+    #: flattened cell indices comfortably inside int32.
+    max_launch_bytes: int = 256 * 1024 * 1024
+
     #: With backend="auto", total haystack bytes at or below this run on the
     #: host scalar scanner — device dispatch overhead dominates tiny scans.
     host_scan_threshold: int = 4096

@@ -85,6 +85,12 @@ def pack_documents(
 
     B = max(_round_up(max(len(meta), 1), batch_pad), batch_pad)
     L = _round_up(max((m[3] for m in meta), default=1), ROW_ALIGN)
+    if B * L >= 2**31:
+        raise ValueError(
+            f"scan batch too large ({B} rows x {L} bytes overflows int32 "
+            "cell indices); lower ScanConfig.max_launch_bytes or split the "
+            "input documents"
+        )
     chunks = np.zeros((B, L), dtype=np.uint8)
     lengths = np.zeros(B, dtype=np.int32)
     emit_from = np.zeros(B, dtype=np.int32)

@@ -154,3 +154,16 @@ def test_scan_host_matches_device_states():
     dev_final = np.nonzero(states >= auto.final_start)[0]
     assert (dev_final == pos).all()
     assert (states[dev_final] == sts).all()
+
+
+def test_multi_launch_split_is_exact():
+    from php_aho_corasick_tpu import ScanConfig as SC
+
+    rng = random.Random(77)
+    patterns = [b"abcab", b"bca"]
+    docs = [bytes(rng.choice(b"abc") for _ in range(3000)) for _ in range(10)]
+    pats = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    # force many launches: 4 KB per launch over 30 KB of docs
+    small = Matcher(pats, SC(backend="device", max_launch_bytes=4096)).match_many(docs)
+    big = Matcher(pats, SC(backend="device")).match_many(docs)
+    assert small == big
