@@ -83,6 +83,7 @@ class Matcher:
         self._model: Optional[DenseDfaModel] = None
         self._kmodel = None
         self._cascade = _UNSET
+        self._tile = _UNSET
         from .utils.logging import ScanStats
 
         self.stats = ScanStats()
@@ -376,10 +377,30 @@ class Matcher:
             )
         return self._cascade
 
+    @property
+    def tile_model(self):
+        """VMEM-tile DFA model (models/tile_dfa.py); ``None`` when the
+        automaton exceeds the tile budget."""
+        if self._tile is _UNSET:
+            from .models.tile_dfa import TileDfaModel, tile_eligible
+
+            self._tile = (
+                TileDfaModel(self.automaton, self.config)
+                if tile_eligible(self.automaton)
+                else None
+            )
+        return self._tile
+
     def _pick_engine(self, total_payload: int) -> str:
         cfg = self.config
         if cfg.engine in ("dfa", "kgram"):
             return cfg.engine
+        if cfg.engine == "tile":
+            if self.tile_model is None:
+                raise ValueError(
+                    "tile engine forced but automaton exceeds the tile budget"
+                )
+            return "tile"
         if cfg.engine == "cascade":
             if self.cascade_model is None:
                 raise ValueError(
@@ -391,6 +412,8 @@ class Matcher:
             and self.cascade_model is not None
         ):
             return "cascade"
+        if total_payload >= cfg.kgram_min_bytes and self.tile_model is not None:
+            return "tile"
         if total_payload >= cfg.kgram_min_bytes and self.kgram_model.k >= 2:
             return "kgram"
         return "dfa"
@@ -454,12 +477,16 @@ class Matcher:
             it = expand_matches_kgram(auto, packed, k, cells_np, prevs_np, n)
         else:
             if use_mesh:
+                # (tile falls back to the sharded dense kernel for now)
                 idx_np, sts_np, n = self._run_sharded(
                     packed, capacity, engine="dfa"
                 )
             else:
+                model = (
+                    self.tile_model if engine == "tile" else self._model
+                )
                 while True:
-                    idx, sts, n, _ = self._model.scan_compact_device(
+                    idx, sts, n, _ = model.scan_compact_device(
                         packed.chunks, packed.lengths, packed.emit_from,
                         None, capacity,
                     )

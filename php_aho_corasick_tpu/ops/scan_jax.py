@@ -115,10 +115,19 @@ def scan_and_compact(
     (or were already reported by a previous streaming feed) and must not
     emit here.
     """
-    B, L = chunks.shape
     states, carry = scan_states(
         table_flat, byte_class, used_bytes, chunks, init_state, n_classes
     )
+    idx, match_state, n_matches = compact_final_states(
+        states, lengths, emit_from, final_start, capacity
+    )
+    return idx, match_state, n_matches, carry
+
+
+def compact_final_states(states, lengths, emit_from, final_start, capacity):
+    """Fixed-capacity compaction of final positions from a states matrix
+    (shared by the dfa and tile engines)."""
+    B, L = states.shape
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     final = (
         (states >= final_start)
@@ -133,7 +142,7 @@ def scan_and_compact(
     match_state = jnp.where(
         idx < INT32_MAX, jnp.take(states.reshape(-1), safe), -1
     )
-    return idx, match_state, n_matches, carry
+    return idx, match_state, n_matches
 
 
 @functools.partial(

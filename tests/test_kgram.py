@@ -112,4 +112,18 @@ def test_auto_engine_thresholds():
     m = Matcher(["abc", "bc"], cfg)
     m.finalize()
     assert m._pick_engine(50) == "dfa"
-    assert m._pick_engine(1000) == "kgram"
+    # tiny automaton -> tile engine wins for large scans
+    assert m._pick_engine(1000) == "tile"
+    # a bigger automaton (tile-ineligible, cascade-ineligible via shorts)
+    import random
+
+    rng = random.Random(0)
+    alphabet = bytes(range(97, 123))
+    pats = list({
+        bytes(rng.choice(alphabet) for _ in range(rng.randint(2, 3)))
+        for _ in range(1500)
+    })
+    m2 = Matcher([{"value": p} for p in pats], cfg)
+    m2.finalize()
+    assert m2.tile_model is None
+    assert m2._pick_engine(1000) == "kgram"

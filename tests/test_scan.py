@@ -167,3 +167,37 @@ def test_multi_launch_split_is_exact():
     small = Matcher(pats, SC(backend="device", max_launch_bytes=4096)).match_many(docs)
     big = Matcher(pats, SC(backend="device")).match_many(docs)
     assert small == big
+
+
+def test_tile_engine_parity():
+    from php_aho_corasick_tpu import ScanConfig as SC
+
+    rng = random.Random(31)
+    patterns = [b"abca", b"cab", b"bb", b"a"]
+    text = bytes(rng.choice(b"abc") for _ in range(9000))
+    pats = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    tile = Matcher(pats, SC(backend="device", engine="tile",
+                            auto_shard=False)).match(text)
+    dfa = Matcher(pats, SC(backend="device", engine="dfa",
+                           auto_shard=False)).match(text)
+    assert tile == dfa
+    assert [(r["pos"], r["keyIdx"]) for r in tile] == brute_force(patterns, text)
+
+
+def test_tile_engine_forced_on_big_automaton_raises():
+    from php_aho_corasick_tpu import ScanConfig as SC
+
+    rng = random.Random(32)
+    pats = [bytes(rng.choice(b"abcdefghij") for _ in range(8)) for _ in range(400)]
+    m = Matcher([{"value": p} for p in set(pats)],
+                SC(backend="device", engine="tile"))
+    with pytest.raises(ValueError):
+        m.match(b"x" * 100)
+
+
+def test_tile_capacity_retry():
+    from php_aho_corasick_tpu import ScanConfig as SC
+
+    got = Matcher(["a"], SC(backend="device", engine="tile",
+                            match_capacity=4, auto_shard=False)).match(b"a" * 2000)
+    assert len(got) == 2000
