@@ -296,6 +296,15 @@ class Matcher:
             raise StateError("matcher is closed")
         return ReplaceStream(self, replacements, mode)
 
+    def warmup(self, doc_bytes: int = 0, n_docs: int = 1) -> None:
+        """Pre-compile the device kernels for a given workload shape
+        (first TPU compiles take tens of seconds; serving deployments call
+        this once at startup)."""
+        if doc_bytes <= 0:
+            doc_bytes = self.config.chunk_len
+        dummy = [b"\xff" * doc_bytes] * n_docs
+        self.match_many(dummy, backend="device")
+
     def iter_matches(self, haystack: Haystack) -> Iterator[dict]:
         """Pull-style match iterator — capability parity with the reference's
         ``ac_trie_settext``/``ac_trie_findnext`` mode
