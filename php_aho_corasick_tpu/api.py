@@ -416,13 +416,21 @@ class Matcher:
                     "cascade engine forced but pattern set is ineligible"
                 )
             return "cascade"
-        if (
-            total_payload >= cfg.cascade_min_bytes
-            and self.cascade_model is not None
-        ):
-            return "cascade"
-        if total_payload >= cfg.kgram_min_bytes and self.tile_model is not None:
-            return "tile"
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        # Measured on TPU v5e (docs/PERF_NOTES.md): the cascade's bloom
+        # lookup has no fast TPU implementation yet (XLA take ~100M/s is
+        # slower than the kgram scan; one-hot matmul is inexact on the MXU
+        # and crashes the compiler at scale; Pallas compile hangs on this
+        # stack), and the tile engine is Pallas-bound.  Auto therefore
+        # prefers them only off-TPU; on TPU the k-gram engine wins.
+        if not on_tpu:
+            if (
+                total_payload >= cfg.cascade_min_bytes
+                and self.cascade_model is not None
+            ):
+                return "cascade"
         if total_payload >= cfg.kgram_min_bytes and self.kgram_model.k >= 2:
             return "kgram"
         return "dfa"

@@ -148,9 +148,16 @@ class CascadeModel:
 
     def bloom_impl(self) -> str:
         impl = self.config.bloom_impl
-        if impl != "auto":
-            return impl
-        return "take"  # measured per-backend default; see docs/PERF_NOTES.md
+        if impl == "auto":
+            return "take"  # measured per-backend default; PERF_NOTES.md
+        if impl == "matmul":
+            import jax
+
+            if jax.default_backend() == "tpu":
+                # measured: the one-hot f32 matmul lookup is INEXACT on the
+                # v5e MXU (bloom false negatives = missed matches) — refuse
+                return "take"
+        return impl
 
     def scan_candidates(self, chunks, lengths, emit_from, capacity: int):
         import jax.numpy as jnp

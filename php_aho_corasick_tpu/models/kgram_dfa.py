@@ -93,9 +93,16 @@ class KgramDfaModel:
             from .. import native
 
             if self.config.prefer_native_builder and native.available():
-                self._ktable_host = native.kgram_build(self.auto, self.k)
+                kt = native.kgram_build(self.auto, self.k)
             else:
-                self._ktable_host = build_kgram_table(self.auto, self.k)
+                kt = build_kgram_table(self.auto, self.k)
+            if self.auto.n_states < (1 << 15) and self.config.allow_int16_states:
+                # halve gathered bytes: entry16 = state(15b) | flag in the
+                # sign bit (the scan kernel branches on table dtype)
+                kt = (
+                    (kt & 0x7FFF) | (((kt >> 30) & 1) << 15)
+                ).astype(np.uint16).view(np.int16)
+            self._ktable_host = kt
         return self._ktable_host
 
     @property

@@ -178,6 +178,10 @@ def expand_matches_kgram(
     Lc = packed.row_len // k
     cells = cell_idx[:n_cells].astype(np.int64)
     prevs = prev_state[:n_cells].astype(np.int64)
+    # the device compacts in time-major order; restore row-major scan order
+    order = np.argsort(cells, kind="stable")
+    cells = cells[order]
+    prevs = prevs[order]
     rows = cells // Lc
     tc = cells % Lc
     byte_mat = packed.chunks[

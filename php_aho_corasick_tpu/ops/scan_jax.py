@@ -178,27 +178,36 @@ def scan_and_compact_kgram(
     assert L % k == 0
     n_cells_row = L // k
     cls = _classes(chunks, byte_class, used_bytes)
-    # cell codes: base-C digits of each k-byte window
-    c = cls.reshape(B, n_cells_row, k)
-    code = c[..., 0]
+    # cell codes: base-C digits of each k-byte window (strided slices fuse
+    # better than a [B, Lc, k] reshape)
+    code = cls[:, 0::k]
     for j in range(1, k):
-        code = code * n_classes + c[..., j]
+        code = code * n_classes + cls[:, j::k]
+
+    is16 = ktable.dtype == jnp.int16  # int16 entries: state | flag<<15
 
     def step(state, code_t):
         entry = jnp.take(ktable, state * (n_classes**k) + code_t)
-        ns = entry & KGRAM_STATE_MASK
+        if is16:
+            ns = (entry & jnp.int16(0x7FFF)).astype(jnp.int32)
+            mid = entry < 0  # flag lives in the int16 sign bit
+        else:
+            ns = entry & KGRAM_STATE_MASK
+            mid = (entry & KGRAM_MID_FLAG) != 0
         # pack "this cell contains a final position" into the sign bit of
         # the emitted prev-state (one output array instead of two)
-        interesting = ((entry & KGRAM_MID_FLAG) != 0) | (ns >= final_start)
+        interesting = mid | (ns >= final_start)
         packed = state | jnp.where(interesting, jnp.int32(-(2**31)), 0)
         return ns, packed
 
     carry, packed = jax.lax.scan(step, init_state, code.T)  # [Lc, B]
-    packed = packed.T
 
-    cell_i = jax.lax.broadcasted_iota(jnp.int32, (B, n_cells_row), 1)
-    overlaps = (cell_i * k < lengths[:, None]) & (
-        (cell_i + 1) * k > emit_from[:, None]
+    # compaction in the scan's native time-major layout (no [Lc,B]->[B,Lc]
+    # transpose of the full emission); the handful of compacted indices are
+    # converted to canonical b*Lc+t form here and re-sorted by the host
+    cell_t = jax.lax.broadcasted_iota(jnp.int32, (n_cells_row, B), 0)
+    overlaps = (cell_t * k < lengths[None, :]) & (
+        (cell_t + 1) * k > emit_from[None, :]
     )
     flagged = ((packed < 0) & overlaps).reshape(-1)
     n_flagged = flagged.sum(dtype=jnp.int32)
@@ -210,4 +219,9 @@ def scan_and_compact_kgram(
         jnp.take(packed.reshape(-1), safe) & KGRAM_STATE_MASK,
         -1,
     )
-    return idx, out_prev, n_flagged, carry
+    b_of = idx % B
+    t_of = idx // B
+    out_idx = jnp.where(
+        idx < INT32_MAX, b_of * n_cells_row + t_of, INT32_MAX
+    )
+    return out_idx, out_prev, n_flagged, carry

@@ -112,8 +112,7 @@ def test_auto_engine_thresholds():
     m = Matcher(["abc", "bc"], cfg)
     m.finalize()
     assert m._pick_engine(50) == "dfa"
-    # tiny automaton -> tile engine wins for large scans
-    assert m._pick_engine(1000) == "tile"
+    assert m._pick_engine(1000) == "kgram"
     # a bigger automaton (tile-ineligible, cascade-ineligible via shorts)
     import random
 
