@@ -18,6 +18,7 @@ Prints exactly one JSON line.
 
 import json
 import random
+import subprocess
 import sys
 import time
 
@@ -26,8 +27,33 @@ import numpy as np
 REFERENCE_GBPS = 2.0 * 1024**2 / 0.174326 / 1e9  # ~0.01203 GB/s
 
 
+def _tpu_alive(timeout: int = 240) -> bool:
+    """Probe the TPU in a subprocess (the axon grant can wedge into a state
+    where any device op hangs; a hung bench would report nothing)."""
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp;"
+                "print(int(jnp.sum(jnp.arange(4))))",
+            ],
+            capture_output=True,
+            timeout=timeout,
+        )
+        return r.returncode == 0 and b"6" in r.stdout
+    except Exception:
+        return False
+
+
 def main() -> None:
+    tpu_ok = _tpu_alive()
+
     import jax
+
+    if not tpu_ok:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from php_aho_corasick_tpu import Matcher, ScanConfig
@@ -108,7 +134,8 @@ def main() -> None:
                     "engine_k": km.k,
                     "states": auto.n_states,
                     "matches": total_matches // reps,
-                    "device": str(jax.devices()[0]),
+                    "device": str(jax.devices()[0])
+                    + ("" if tpu_ok else " (TPU wedged; CPU fallback)"),
                 },
             }
         )

@@ -222,7 +222,7 @@ class Matcher:
             self.finalize()  # auto-finalize parity (php_ahocorasick.c:707)
         docs = [_as_bytes(h) for h in haystacks]
         results: List[List[dict]] = [[] for _ in docs]
-        if self._auto.n_patterns == 0:
+        if self._auto.n_patterns == 0 or not docs:
             return results
 
         be = backend or self.config.backend

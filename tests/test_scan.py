@@ -201,3 +201,9 @@ def test_tile_capacity_retry():
     got = Matcher(["a"], SC(backend="device", engine="tile",
                             match_capacity=4, auto_shard=False)).match(b"a" * 2000)
     assert len(got) == 2000
+
+
+def test_match_many_empty_inputs(backend):
+    c = Matcher(["ab"], ScanConfig(backend=backend))
+    assert c.match_many([]) == []
+    assert c.match_many(["", ""]) == [[], []]
