@@ -152,18 +152,21 @@ def filter_candidates(
     else:
         hit = bloom_hit_take
 
-    code = gram_codes(cls, q, n_classes)
-    pad = jnp.zeros((B, max(offsets) if offsets else 0), jnp.int32)
-    code_ext = jnp.concatenate([code, pad], axis=1) if offsets else code
-    cand = jnp.ones((B, L), jnp.bool_)
-    for s, (off, salt) in enumerate(zip(offsets, salts)):
-        code_o = jax.lax.dynamic_slice_in_dim(code_ext, off, L, 1)
-        slots = bloom_slots(code_o, log2_bits, salt)
-        cand &= hit(bloom_words[s], slots).astype(jnp.bool_)
-    # long-pattern starts need at least min_long_len bytes left in the row
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
-    cand &= p_idx + min_long_len <= lengths[:, None]
-    cand &= min_long_len > 0
+    if offsets:  # long-pattern bloom stages (absent in shorts-only plans)
+        code = gram_codes(cls, q, n_classes)
+        pad = jnp.zeros((B, max(offsets)), jnp.int32)
+        code_ext = jnp.concatenate([code, pad], axis=1)
+        cand = jnp.ones((B, L), jnp.bool_)
+        for s, (off, salt) in enumerate(zip(offsets, salts)):
+            code_o = jax.lax.dynamic_slice_in_dim(code_ext, off, L, 1)
+            slots = bloom_slots(code_o, log2_bits, salt)
+            cand &= hit(bloom_words[s], slots).astype(jnp.bool_)
+        # long-pattern starts need min_long_len bytes left in the row
+        cand &= p_idx + min_long_len <= lengths[:, None]
+        cand &= min_long_len > 0
+    else:
+        cand = jnp.zeros((B, L), jnp.bool_)
 
     if shorts:
         cand |= short_pattern_mask(chunks, shorts)

@@ -196,3 +196,9 @@ def test_cascade_sharded_parity():
     res = Matcher(pats, cfg).match_many(docs)
     for doc, recs in zip(docs, res):
         assert [(r["pos"], r["keyIdx"]) for r in recs] == brute_force(patterns, doc)
+
+
+def test_cascade_shorts_only_plan_end_to_end():
+    # no long patterns at all: blooms disabled, compare-select only
+    got = run_cascade([b"ab", b"c"], b"zabcz ab c")
+    assert got == brute_force([b"ab", b"c"], b"zabcz ab c")
