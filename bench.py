@@ -27,7 +27,7 @@ import numpy as np
 REFERENCE_GBPS = 2.0 * 1024**2 / 0.174326 / 1e9  # ~0.01203 GB/s
 
 
-def _tpu_alive(timeout: int = 240) -> bool:
+def _tpu_alive(timeout: int = 480) -> bool:
     """Probe the TPU in a subprocess (the axon grant can wedge into a state
     where any device op hangs; a hung bench would report nothing)."""
     try:
@@ -73,7 +73,7 @@ def main() -> None:
     docs = base_docs * 16
     total_bytes = sum(map(len, docs))
 
-    cfg = ScanConfig(backend="device", chunk_len=2048)
+    cfg = ScanConfig(backend="device", chunk_len=4096)
     t0 = time.time()
     m = Matcher([{"id": i, "value": p} for i, p in enumerate(needles)], cfg)
     m.finalize()

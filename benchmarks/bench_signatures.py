@@ -53,10 +53,14 @@ def main():
     n_bytes = args.mib * 2**20
     corpus = bytearray(hexmap[rng.integers(0, 16, n_bytes, dtype=np.uint8)])
     planted = 0
+    doc_sz = 2**20
     for j in range(0, n_bytes - 16, max(n_bytes // 200, 1)):
+        if j % doc_sz > doc_sz - args.needle_len:
+            continue  # would straddle a document boundary (docs are
+            # independent; such a plant legitimately cannot match)
         corpus[j : j + 16] = patterns[j % args.needles]
         planted += 1
-    docs = [bytes(corpus[i : i + 2**20]) for i in range(0, n_bytes, 2**20)]
+    docs = [bytes(corpus[i : i + doc_sz]) for i in range(0, n_bytes, doc_sz)]
 
     import jax.numpy as jnp
 

@@ -5,6 +5,10 @@ cascade applies, builds the per-stage hashed blooms from the pattern set,
 and verifies compacted candidate starts exactly with a vectorized trie
 walk (goto-only, detected via ``state_depth``).
 
+The start-based paradigm is the "failure-less Aho-Corasick" family
+(cf. PFAC, arXiv:1811.10498, PAPERS.md) — here with a vectorized bloom
+prefilter in front so only candidate starts pay the walk.
+
 Equivalence argument (vs the DFA scan): every occurrence of every pattern
 is found at its own start position — a pattern that is a suffix factor of
 another match (the reference's failure-chain emission,
