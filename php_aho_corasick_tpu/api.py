@@ -419,17 +419,22 @@ class Matcher:
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
-        # Measured on TPU v5e (docs/PERF_NOTES.md): the cascade's bloom
-        # lookup has no fast TPU implementation yet (XLA take ~100M/s is
-        # slower than the kgram scan; one-hot matmul is inexact on the MXU
-        # and crashes the compiler at scale; Pallas compile hangs on this
-        # stack), and the tile engine is Pallas-bound.  Auto therefore
-        # prefers them only off-TPU; on TPU the k-gram engine wins.
+        cm = (
+            self.cascade_model
+            if total_payload >= cfg.cascade_min_bytes
+            else None
+        )
         if not on_tpu:
-            if (
-                total_payload >= cfg.cascade_min_bytes
-                and self.cascade_model is not None
-            ):
+            # off-TPU (CPU/GPU sim) any eligible cascade beats the scan
+            if cm is not None:
+                return "cascade"
+        elif cm is not None and cm.plan.mode == "sampled":
+            # On TPU v5e the gather unit (~100M lookups/s) is the wall for
+            # every engine (docs/PERF_NOTES.md).  The sampled cascade costs
+            # 1/stride gathers per byte vs the k-gram scan's 1/k; anchored
+            # blooms (1+ per byte) and the Pallas paths stay off-TPU-only.
+            k = self.kgram_model.k
+            if cm.plan.stride > max(k, 1):
                 return "cascade"
         if total_payload >= cfg.kgram_min_bytes and self.kgram_model.k >= 2:
             return "kgram"
@@ -460,16 +465,7 @@ class Matcher:
             if use_mesh:
                 idx_np, n = self._run_sharded_cascade(packed, capacity)
             else:
-                while True:
-                    idx, n = cm.scan_candidates(
-                        packed.chunks, packed.lengths, packed.emit_from,
-                        capacity,
-                    )
-                    n = int(n)
-                    if n <= capacity:
-                        break
-                    capacity = _next_pow2(n)
-                idx_np = np.asarray(idx)
+                idx_np, n = cm.candidates_np(packed, capacity)
             it = cm.verify(packed, idx_np, n)
         elif engine == "kgram":
             k = self.kgram_model.k
@@ -528,7 +524,10 @@ class Matcher:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .parallel.mesh import data_mesh
-        from .parallel.shard_scan import sharded_filter_candidates
+        from .parallel.shard_scan import (
+            sharded_filter_candidates,
+            sharded_filter_hits_sampled,
+        )
 
         mesh = data_mesh()
         row = NamedSharding(mesh, P("data"))
@@ -536,6 +535,29 @@ class Matcher:
         lengths = jax.device_put(jnp.asarray(packed.lengths), row)
         emit_from = jax.device_put(jnp.asarray(packed.emit_from), row)
         cm = self.cascade_model
+        if cm.plan.mode == "sampled":
+            while True:
+                idx, lw, sw, counts = sharded_filter_hits_sampled(
+                    mesh, cm, chunks, lengths, emit_from, capacity
+                )
+                counts_np = np.asarray(counts)
+                if counts_np.max(initial=0) <= capacity:
+                    break
+                capacity = _next_pow2(int(counts_np.max()))
+            idx2d, lw2d, sw2d = map(np.asarray, (idx, lw, sw))
+            parts = []
+            total = 0
+            for s in range(idx2d.shape[0]):
+                st, n = cm.expand_hits(
+                    idx2d[s], lw2d[s], sw2d[s], int(counts_np[s]),
+                    packed.row_len, packed.lengths,
+                )
+                parts.append(st)
+                total += n
+            merged = (
+                np.concatenate(parts) if parts else np.zeros(0, np.int64)
+            )
+            return merged, total
         while True:
             idx, counts = sharded_filter_candidates(
                 mesh, cm, chunks, lengths, emit_from, capacity

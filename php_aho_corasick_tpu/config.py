@@ -88,6 +88,19 @@ class ScanConfig:
     #: bloom lookup implementation: "auto", "take", "matmul", "pallas".
     bloom_impl: str = "auto"
 
+    #: cascade filter mode: "auto" (planner cost model), "sampled" (force
+    #: the strided positional bloom), "anchored" (force per-position
+    #: multi-stage blooms).
+    cascade_mode: str = "auto"
+
+    #: log2 cap on the sampled positional bloom's word count (2**24 int32
+    #: words = 64 MiB HBM).
+    cascade_log2_words_max: int = 24
+
+    #: planner bound on estimated candidate starts per scanned byte for the
+    #: sampled cascade (host verification stays proportional to this).
+    cascade_max_cand_density: float = 0.02
+
     #: corpora larger than this are scanned in multiple device launches
     #: (documents are independent, so splitting is exact); also keeps
     #: flattened cell indices comfortably inside int32.

@@ -45,6 +45,22 @@ class CascadePlan:
     min_long_len: int = 0
     #: own pattern id per state (-1 when the state's string is no pattern)
     own_pat: Optional[np.ndarray] = None
+    #: "anchored": per-position multi-stage blooms; "sampled": one
+    #: positional-alignment bloom checked every ``stride`` positions
+    mode: str = "anchored"
+    stride: int = 0
+    log2_words: int = 0
+    sampled_salt: int = 0
+    sampled_words: Optional[np.ndarray] = None  # [2**log2_words] int32
+    #: planner's estimated candidate starts per scanned byte (diagnostics)
+    est_cand_density: float = 0.0
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def _gram_code_u32(classes: Sequence[int], n_classes: int) -> int:
@@ -63,6 +79,79 @@ def _own_pat(auto: CompiledAutomaton) -> np.ndarray:
         is_own = auto.pat_lens[first] == auto.state_depth[finals]
         own[finals[is_own]] = first[is_own]
     return own
+
+
+#: measured per-lookup cost of the XLA gather unit on TPU v5e (seconds);
+#: see docs/PERF_NOTES.md — table-size independent down to tiny tables.
+_GATHER_S = 1 / 104e6
+#: amortized host-verification cost per candidate start (vectorized numpy
+#: root walk; most false candidates die within a few steps).
+_VERIFY_S = 30e-9
+#: hard cap on positional-bloom alignments (bits of an int32 word).
+_MAX_STRIDE = 32
+#: skip exact gram enumeration above this many (pattern, alignment) entries.
+_ENUM_CAP = 64_000_000
+
+
+def _alignment_gram_codes(
+    longs: Sequence[bytes], bc: np.ndarray, C: int, q: int, s: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``(codes, aligns)`` of every long pattern's q-gram at offsets
+    ``[0, s)`` — wrapping uint32 base-C codes, bit-identical to the device's
+    int32 arithmetic (ops/filter_jax.py sampled_gram_codes)."""
+    by_len: dict = {}
+    for p in longs:
+        by_len.setdefault(len(p), []).append(p)
+    codes: List[np.ndarray] = []
+    aligns: List[np.ndarray] = []
+    for n, ps in sorted(by_len.items()):
+        arr = np.frombuffer(b"".join(ps), np.uint8).reshape(len(ps), n)
+        cls = bc[arr].astype(np.uint32)
+        for j in range(s):  # s <= min_long - q + 1 <= n - q + 1
+            c = np.zeros(len(ps), np.uint32)
+            for t in range(q):
+                c = c * np.uint32(C) + cls[:, j + t]
+            codes.append(c)
+            aligns.append(np.full(len(ps), j, np.int32))
+    return np.concatenate(codes), np.concatenate(aligns)
+
+
+def _plan_sampled(
+    longs: Sequence[bytes],
+    auto: CompiledAutomaton,
+    config: ScanConfig,
+    min_long: int,
+) -> Optional[dict]:
+    """Pick ``(q, stride, log2_words)`` for the strided positional bloom by
+    a simple per-byte cost model: one gather per ``stride`` positions plus
+    host verification proportional to expected candidate density.  Returns
+    None when no sampled configuration beats per-position anchored blooms
+    (e.g. min_long == q => stride 1)."""
+    A = max(int(auto.used_bytes.shape[0]), 1)
+    n_longs = len(longs)
+    max_w = config.cascade_log2_words_max
+    best = None
+    for q in range(min(16, min_long), config.cascade_min_q - 1, -1):
+        s = min(_MAX_STRIDE, min_long - q + 1)
+        if s < 2:
+            continue
+        n_entries = n_longs * s
+        log2_w = int(np.ceil(np.log2(max(n_entries, 1) * 32)))
+        log2_w = min(max(log2_w, 14), max_w)
+        true_density = min(1.0, n_entries / float(A) ** q)
+        fill = n_entries / float(1 << log2_w)
+        cand_per_byte = (1.1 * true_density + fill) / s
+        cost = _GATHER_S / s + _VERIFY_S * cand_per_byte
+        if best is None or cost < best["cost"]:
+            best = dict(
+                q=q, stride=s, log2_words=log2_w, cost=cost,
+                cand_per_byte=cand_per_byte,
+            )
+    if best is None:
+        return None
+    if best["cand_per_byte"] > config.cascade_max_cand_density:
+        return None
+    return best
 
 
 def plan_cascade(
@@ -85,6 +174,48 @@ def plan_cascade(
             bloom_words=np.zeros((0, 1), np.int32), own_pat=_own_pat(auto),
         )
     min_long = min(len(p) for p in longs)
+
+    if config.cascade_mode in ("auto", "sampled"):
+        choice = _plan_sampled(longs, auto, config, min_long)
+        if choice is not None and len(longs) * choice["stride"] <= _ENUM_CAP:
+            q, s = choice["q"], choice["stride"]
+            log2_w = choice["log2_words"]
+            salt = 0x85EBCA6B
+            codes, aligns = _alignment_gram_codes(
+                longs, auto.byte_class, auto.n_classes, q, s
+            )
+            h = ((codes ^ np.uint32(salt)) * np.uint32(KNUTH))
+            widx = (h >> np.uint32(32 - log2_w)).astype(np.int64)
+            words = np.zeros(1 << log2_w, dtype=np.uint32)
+            np.bitwise_or.at(
+                words, widx, np.uint32(1) << aligns.astype(np.uint32)
+            )
+            # exact candidate-density estimate from the built filter
+            n_distinct = np.unique(codes).shape[0]
+            true_density = min(1.0, n_distinct / float(
+                max(int(auto.used_bytes.shape[0]), 1)
+            ) ** q)
+            fill = float(codes.shape[0]) / float(1 << log2_w)
+            density = (1.1 * true_density + fill) / s
+            if density <= config.cascade_max_cand_density:
+                return CascadePlan(
+                    True,
+                    f"sampled q={q} stride={s}",
+                    q=q,
+                    shorts=shorts,
+                    min_long_len=min_long,
+                    own_pat=_own_pat(auto),
+                    mode="sampled",
+                    stride=s,
+                    log2_words=log2_w,
+                    sampled_salt=salt,
+                    sampled_words=words.view(np.int32),
+                    est_cand_density=density,
+                )
+        if config.cascade_mode == "sampled":
+            return CascadePlan(
+                False, "no viable sampled configuration for this pattern set"
+            )
     q = min(8, min_long)
     # stage offsets: gram windows fully inside every long pattern
     offs = {0}
@@ -142,12 +273,16 @@ class CascadeModel:
             import jax.numpy as jnp
 
             auto = self.auto
+            p = self.plan
             self._dev = {
-                "bloom_words": jnp.asarray(self.plan.bloom_words),
                 "byte_class": jnp.asarray(auto.byte_class.astype(np.int32)),
                 "used_bytes": jnp.asarray(auto.used_bytes),
-                "min_long_len": jnp.int32(self.plan.min_long_len),
+                "min_long_len": jnp.int32(p.min_long_len),
             }
+            if p.mode == "sampled":
+                self._dev["sampled_words"] = jnp.asarray(p.sampled_words)
+            else:
+                self._dev["bloom_words"] = jnp.asarray(p.bloom_words)
         return self._dev
 
     def bloom_impl(self) -> str:
@@ -163,6 +298,94 @@ class CascadeModel:
                 return "take"
         return impl
 
+    def scan_hits_sampled(self, chunks, lengths, emit_from, capacity: int):
+        """One launch of the grid-domain sampled filter (ops/filter_jax.py
+        filter_hits_sampled)."""
+        import jax.numpy as jnp
+
+        from ..ops.filter_jax import filter_hits_sampled
+
+        dev = self.device_arrays
+        p = self.plan
+        return filter_hits_sampled(
+            dev["sampled_words"],
+            dev["byte_class"],
+            dev["used_bytes"],
+            jnp.asarray(chunks),
+            jnp.asarray(lengths),
+            jnp.asarray(emit_from),
+            dev["min_long_len"],
+            n_classes=self.auto.n_classes,
+            q=p.q,
+            stride=p.stride,
+            log2_words=p.log2_words,
+            salt=p.sampled_salt,
+            shorts=p.shorts,
+            capacity=capacity,
+        )
+
+    def expand_hits(
+        self,
+        grid_idx: np.ndarray,
+        long_word: np.ndarray,
+        short_word: np.ndarray,
+        n_hits: int,
+        row_len: int,
+        lengths: np.ndarray,  # [B] int32 (host copy)
+    ) -> Tuple[np.ndarray, int]:
+        """Host expansion of compacted grid hits into sorted unique
+        candidate-start indices (flattened ``b * L + t``)."""
+        p = self.plan
+        s = p.stride
+        M = -(-row_len // s)
+        g = grid_idx[:n_hits].astype(np.int64)
+        lw = long_word[:n_hits].astype(np.int64) & 0xFFFFFFFF
+        sw = short_word[:n_hits].astype(np.int64) & 0xFFFFFFFF
+        b = g // M
+        pos = (g % M) * s
+        base = b * row_len
+        min_long = p.min_long_len
+        parts: List[np.ndarray] = []
+        for j in range(s):
+            sel = (lw >> j) & 1 != 0
+            if sel.any():
+                t = pos[sel] - j
+                ok = (t >= 0) & (t + min_long <= lengths[b[sel]])
+                parts.append(base[sel][ok] + t[ok])
+            sel = (sw >> j) & 1 != 0
+            if sel.any():  # short starts: already length-gated on device
+                parts.append(base[sel] + pos[sel] + j)
+        if not parts:
+            return np.zeros(0, np.int64), 0
+        starts = np.unique(np.concatenate(parts))
+        return starts, starts.shape[0]
+
+    def candidates_np(self, packed: PackedRows, capacity: int):
+        """Device filter + capacity retry + (sampled) host bit expansion.
+        Returns ``(start_idx np, n_starts)`` ready for :meth:`verify`."""
+        if self.plan.mode == "sampled":
+            while True:
+                idx, lw, sw, n = self.scan_hits_sampled(
+                    packed.chunks, packed.lengths, packed.emit_from, capacity
+                )
+                n = int(n)
+                if n <= capacity:
+                    break
+                capacity = _next_pow2(n)
+            return self.expand_hits(
+                np.asarray(idx), np.asarray(lw), np.asarray(sw), n,
+                packed.row_len, packed.lengths,
+            )
+        while True:
+            idx, n = self.scan_candidates(
+                packed.chunks, packed.lengths, packed.emit_from, capacity
+            )
+            n = int(n)
+            if n <= capacity:
+                break
+            capacity = _next_pow2(n)
+        return np.asarray(idx), n
+
     def scan_candidates(self, chunks, lengths, emit_from, capacity: int):
         import jax.numpy as jnp
 
@@ -170,6 +393,7 @@ class CascadeModel:
 
         dev = self.device_arrays
         p = self.plan
+        assert p.mode != "sampled", "use scan_hits_sampled / candidates_np"
         return filter_candidates(
             dev["bloom_words"],
             dev["byte_class"],
@@ -211,31 +435,38 @@ class CascadeModel:
         row_len = packed.lengths[rows].astype(np.int64)
         row_emit = packed.emit_from[rows].astype(np.int64)
 
+        # active-set walk: candidates that fall off the pure-prefix path are
+        # compacted away each level, so total work tracks the (rapidly
+        # decaying) survivor count rather than candidates x max_len
+        act = np.arange(idx.shape[0])
         states = np.zeros(idx.shape[0], dtype=np.int64)
-        alive = np.ones(idx.shape[0], dtype=bool)
         out_rows: List[np.ndarray] = []
         out_end: List[np.ndarray] = []
         out_start: List[np.ndarray] = []
         out_pid: List[np.ndarray] = []
         for j in range(auto.max_len):
-            pos = ps + j
-            in_row = pos < row_len
-            alive &= in_row
-            if not alive.any():
+            pos = ps[act] + j
+            in_row = pos < row_len[act]
+            if not in_row.all():
+                act = act[in_row]
+                pos = pos[in_row]
+            if act.size == 0:
                 break
-            safe_pos = np.minimum(pos, L - 1)
-            b = packed.chunks[rows, safe_pos]
-            states = table[states, bc[b]].astype(np.int64)
-            alive &= depth[states] == j + 1  # left the pure-prefix path?
-            o = own[states]
+            b = packed.chunks[rows[act], pos]
+            st = table[states[act], bc[b]].astype(np.int64)
+            states[act] = st
+            on_path = depth[st] == j + 1  # left the pure-prefix path?
+            o = own[st]
             # end-1 byte index = pos; ownership window [emit_from, length)
-            emit = alive & (o >= 0) & (pos >= row_emit)
+            emit = on_path & (o >= 0) & (pos >= row_emit[act])
             if emit.any():
                 sel = np.nonzero(emit)[0]
-                out_rows.append(rows[sel])
+                out_rows.append(rows[act[sel]])
                 out_end.append(pos[sel] + 1)
-                out_start.append(ps[sel])
+                out_start.append(ps[act[sel]])
                 out_pid.append(o[sel])
+            if not on_path.all():
+                act = act[on_path]
         if not out_rows:
             return iter(())
         r = np.concatenate(out_rows)

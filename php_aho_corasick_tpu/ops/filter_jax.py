@@ -106,6 +106,111 @@ def short_pattern_mask(
     return mask
 
 
+def sampled_gram_codes(
+    cls: jax.Array, q: int, stride: int, n_classes: int
+) -> jax.Array:
+    """q-gram class codes at the sampled grid positions ``p = m * stride``
+    only (``[B, M]`` with ``M = ceil(L / stride)``) — the dense rolling-code
+    array is never materialized.  Codes wrap in int32 (hash input only);
+    grid grams overrunning the row read trailing zeros, which is harmless:
+    such positions cannot be the in-row gram of a full occurrence (the
+    occurrence's own grid gram always lies inside the row)."""
+    B, L = cls.shape
+    M = -(-L // stride)
+    pad = jnp.zeros((B, M * stride + q - L), jnp.int32)
+    ext = jnp.concatenate([cls, pad], axis=1)
+    code = jnp.zeros((B, M), jnp.int32)
+    for j in range(q):
+        sl = jax.lax.slice(
+            ext, (0, j), (B, j + (M - 1) * stride + 1), (1, stride)
+        )
+        code = code * n_classes + sl
+    return code
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_classes", "q", "stride", "log2_words", "salt", "shorts",
+        "capacity",
+    ),
+)
+def filter_hits_sampled(
+    words: jax.Array,  # [2**log2_words] int32 positional bloom
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8
+    lengths: jax.Array,  # [B] int32
+    emit_from: jax.Array,  # [B] int32
+    min_long_len: jax.Array,  # scalar int32 (0 disables the long path)
+    n_classes: int,
+    q: int,
+    stride: int,
+    log2_words: int,
+    salt: int,
+    shorts: Tuple[bytes, ...],
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Strided-sampled filter with *grid-domain* compaction.
+
+    Device-side cost lives entirely on the sampled grid (``B * ceil(L /
+    stride)`` cells — the compaction/nonzero over the dense ``[B, L]``
+    start domain measurably dominated the bloom gather itself on TPU, see
+    docs/PERF_NOTES.md): one bloom gather per grid cell, plus a hit
+    compaction over grid cells.  Each compacted hit carries two int32
+    bitmask words the *host* expands into candidate starts
+    (models/cascade.py expand_hits):
+
+    * ``long_word`` — positional-bloom word of the cell's gram: bit ``j``
+      => candidate long-pattern start at ``m * stride - j``;
+    * ``short_word`` — exact compare-select short-pattern starts packed by
+      in-cell offset: bit ``i`` => short match starting at
+      ``m * stride + i``.
+
+    Soundness: any occurrence of a long pattern at start ``t`` spans at
+    least ``min_long >= q + stride - 1`` bytes, so ``[t, t + stride - 1]``
+    contains exactly one grid point ``p``; the gram at ``p`` is the
+    pattern's own gram at offset ``j = p - t <= stride - 1``, which the
+    plan inserted with bit ``j`` set — the expanded starts are a superset
+    of all true starts and host verification removes the rest.  On
+    gather-starved TPUs (v5e: ~100M lookups/s) this divides the per-byte
+    gather cost by ``stride`` (9x for the headline 16-byte needles, q=8).
+
+    Returns ``(grid_idx [cap] flattened b * M + m ascending, long_word
+    [cap], short_word [cap], n_hits)``; retry with doubled capacity when
+    ``n_hits > capacity``."""
+    B, L = chunks.shape
+    M = -(-L // stride)
+    cls = _classes(chunks, byte_class, used_bytes)
+    code = sampled_gram_codes(cls, q, stride, n_classes)
+    h = (code.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+    widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+    w = jnp.take(words, widx)  # [B, M] — THE gather
+    w = jnp.where(min_long_len > 0, w, 0)
+
+    if shorts:
+        sm = short_pattern_mask(chunks, shorts)
+        sm &= (
+            jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+            < lengths[:, None]
+        )
+        pad = jnp.zeros((B, M * stride - L), jnp.bool_)
+        cell = jnp.concatenate([sm, pad], 1).reshape(B, M, stride)
+        weights = (jnp.int32(1) << jnp.arange(stride, dtype=jnp.int32))
+        sw = jnp.sum(cell * weights[None, None, :], axis=2, dtype=jnp.int32)
+    else:
+        sw = jnp.zeros((B, M), jnp.int32)
+
+    hit = ((w | sw) != 0).reshape(-1)
+    n_hits = hit.sum(dtype=jnp.int32)
+    (idx,) = jnp.nonzero(hit, size=capacity, fill_value=INT32_MAX)
+    idx = idx.astype(jnp.int32)
+    safe = jnp.minimum(idx, B * M - 1)
+    lw = jnp.where(idx < INT32_MAX, jnp.take(w.reshape(-1), safe), 0)
+    swo = jnp.where(idx < INT32_MAX, jnp.take(sw.reshape(-1), safe), 0)
+    return idx, lw, swo, n_hits
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -209,6 +209,92 @@ def _sharded_call_cascade(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_classes", "q", "stride", "log2_words", "salt", "shorts",
+        "capacity",
+    ),
+)
+def _sharded_call_cascade_sampled(
+    words,
+    byte_class,
+    used_bytes,
+    chunks,
+    lengths,
+    emit_from,
+    min_long_len,
+    *,
+    mesh: Mesh,
+    n_classes: int,
+    q: int,
+    stride: int,
+    log2_words: int,
+    salt: int,
+    shorts,
+    capacity: int,
+):
+    from ..ops.filter_jax import filter_hits_sampled
+
+    data, rep = P(DATA_AXIS), P()
+
+    def local_fn(w, bc, ub, ch, ln, ef, mll):
+        idx, lw, sw, n = filter_hits_sampled(
+            w, bc, ub, ch, ln, ef, mll,
+            n_classes=n_classes, q=q, stride=stride, log2_words=log2_words,
+            salt=salt, shorts=shorts, capacity=capacity,
+        )
+        shard = jax.lax.axis_index(DATA_AXIS)
+        # grid cells per shard: rows x ceil(row_len / stride)
+        local_cells = ch.shape[0] * (-(-ch.shape[1] // stride))
+        idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
+        return idx[None], lw[None], sw[None], n[None]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, data, data, data, rep),
+        out_specs=(data, data, data, data),
+    )
+    return fn(
+        words, byte_class, used_bytes, chunks, lengths, emit_from,
+        min_long_len,
+    )
+
+
+def sharded_filter_hits_sampled(
+    mesh: Mesh,
+    cascade_model,
+    chunks,
+    lengths,
+    emit_from,
+    capacity: int,
+):
+    """Sharded sampled-mode grid-hit filter.  Returns ``(grid_idx
+    [n_shards, cap], long_word, short_word, counts [n_shards])`` with
+    shard-globalized grid indices (host expansion: CascadeModel
+    expand_hits)."""
+    plan = cascade_model.plan
+    dev = cascade_model.device_arrays
+    return _sharded_call_cascade_sampled(
+        dev["sampled_words"],
+        dev["byte_class"],
+        dev["used_bytes"],
+        chunks,
+        lengths,
+        emit_from,
+        dev["min_long_len"],
+        mesh=mesh,
+        n_classes=cascade_model.auto.n_classes,
+        q=plan.q,
+        stride=plan.stride,
+        log2_words=plan.log2_words,
+        salt=plan.sampled_salt,
+        shorts=plan.shorts,
+        capacity=capacity,
+    )
+
+
 def sharded_filter_candidates(
     mesh: Mesh,
     cascade_model,
@@ -217,8 +303,9 @@ def sharded_filter_candidates(
     emit_from,
     capacity: int,
 ):
-    """Sharded cascade candidate filter.  Returns ``(idx [n_shards, cap],
-    counts [n_shards])`` with global flattened start indices."""
+    """Sharded (anchored) cascade candidate filter.  Returns
+    ``(idx [n_shards, cap], counts [n_shards])`` with global flattened
+    start indices."""
     plan = cascade_model.plan
     dev = cascade_model.device_arrays
     return _sharded_call_cascade(

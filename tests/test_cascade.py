@@ -52,7 +52,8 @@ def test_plan_saturated_bloom():
     m = Matcher(["abcdefgh"])
     plan = plan_cascade([b"abcdefgh"], m.automaton,
                         ScanConfig(cascade_log2_bloom_bits=4,
-                                   cascade_max_fill=0.01))
+                                   cascade_max_fill=0.01,
+                                   cascade_mode="anchored"))
     assert not plan.eligible
 
 
@@ -202,3 +203,182 @@ def test_cascade_shorts_only_plan_end_to_end():
     # no long patterns at all: blooms disabled, compare-select only
     got = run_cascade([b"ab", b"c"], b"zabcz ab c")
     assert got == brute_force([b"ab", b"c"], b"zabcz ab c")
+
+
+# ------------------------------------------------- sampled (strided) mode
+
+def test_expand_hits_matches_bruteforce():
+    """Host expansion of grid-hit bitmask words must equal the definition:
+    long bit j at grid point p = m*stride => start p - j (length-gated);
+    short bit i => start p + i."""
+    rng = random.Random(0)
+    pats = [bytes(rng.choice(b"abcdef") for _ in range(16))
+            for _ in range(32)]
+    m = Matcher([{"value": p} for p in pats],
+                ScanConfig(backend="device", engine="cascade"))
+    cm = m.cascade_model
+    s = cm.plan.stride
+    min_long = cm.plan.min_long_len
+    nprng = np.random.default_rng(5)
+    B, L = 3, 103
+    M = -(-L // s)
+    lengths = np.asarray([L, 57, 0], np.int32)
+    n_hits = 17
+    grid = np.sort(
+        nprng.choice(B * M, size=n_hits, replace=False)
+    ).astype(np.int32)
+    lw = nprng.integers(0, 1 << s, n_hits, dtype=np.int64)
+    sw = nprng.integers(0, 1 << s, n_hits, dtype=np.int64)
+    lw32 = (lw & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    sw32 = (sw & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+    want = set()
+    for g, w_l, w_s in zip(grid, lw, sw):
+        b, mm = divmod(int(g), M)
+        p = mm * s
+        for j in range(s):
+            if (int(w_l) >> j) & 1:
+                t = p - j
+                if t >= 0 and t + min_long <= lengths[b]:
+                    want.add(b * L + t)
+            if (int(w_s) >> j) & 1:
+                want.add(b * L + p + j)
+    got, n = cm.expand_hits(grid, lw32, sw32, n_hits, L, lengths)
+    assert n == len(want)
+    assert sorted(want) == got.tolist()
+
+
+def test_sampled_gram_codes_match_host():
+    import jax.numpy as jnp
+    from php_aho_corasick_tpu.models.cascade import _gram_code_u32
+    from php_aho_corasick_tpu.ops.filter_jax import sampled_gram_codes
+
+    rng = np.random.default_rng(9)
+    B, L, q, stride, C = 2, 77, 8, 5, 7
+    cls = rng.integers(0, C, (B, L), dtype=np.int64).astype(np.int32)
+    got = np.asarray(
+        sampled_gram_codes(jnp.asarray(cls), q, stride, C)
+    ).astype(np.uint32)
+    ext = np.concatenate([cls, np.zeros((B, q), np.int32)], axis=1)
+    for b in range(B):
+        for m in range(got.shape[1]):
+            p = m * stride
+            want = _gram_code_u32(ext[b, p : p + q], C)
+            assert got[b, m] == want, (b, m)
+
+
+def test_plan_picks_sampled_for_long_patterns():
+    rng = random.Random(0)
+    pats = [bytes(rng.choice(b"abcdef") for _ in range(16))
+            for _ in range(64)]
+    m = Matcher([{"value": p} for p in pats])
+    plan = plan_cascade([p.value for p in m._patterns], m.automaton,
+                        ScanConfig())
+    assert plan.eligible and plan.mode == "sampled"
+    assert plan.stride >= 2 and plan.q + plan.stride - 1 <= 16
+    assert plan.sampled_words is not None
+
+
+def test_forced_sampled_on_short_min_long_is_ineligible():
+    # min_long == 4 => stride would be 1: no sampled configuration
+    plan_m = Matcher(["tiny"])
+    plan = plan_cascade([b"tiny"], plan_m.automaton,
+                        ScanConfig(cascade_mode="sampled"))
+    assert not plan.eligible
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_sampled_cascade_parity_fuzz(seed):
+    rng = random.Random(1000 + seed)
+    alphabet = b"abcdef"
+    patterns = list({
+        bytes(rng.choice(alphabet) for _ in range(rng.randint(9, 24)))
+        for _ in range(rng.randint(1, 60))
+    })
+    if rng.random() < 0.5:  # mixed-in shorts stay exact via compare-select
+        patterns += list({
+            bytes(rng.choice(alphabet) for _ in range(rng.randint(1, 3)))
+            for _ in range(rng.randint(1, 4))
+        })
+    patterns = list(dict.fromkeys(patterns))
+    text = bytearray(rng.choice(alphabet) for _ in range(6000))
+    for _ in range(25):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    got = run_cascade(patterns, text, chunk_len=512, match_capacity=64,
+                      cascade_mode="sampled")
+    assert got == brute_force(patterns, text)
+
+
+def test_sampled_cascade_chunk_halo():
+    pat = b"wxyzwxyzwxyz"
+    text = (b"." * 93 + pat) * 40
+    got = run_cascade([pat], text, chunk_len=64, match_capacity=8,
+                      cascade_mode="sampled")
+    assert len(got) == 40
+    assert got == brute_force([pat], text)
+
+
+def test_sampled_cascade_capacity_retry():
+    # dense matches: an occurrence every 2 bytes forces repeated doubling
+    pat = b"ab" * 6
+    text = b"ab" * 1250
+    got = run_cascade([pat], text, match_capacity=4,
+                      cascade_mode="sampled")
+    assert got == brute_force([pat], text)
+
+
+def test_sampled_cascade_overlapping_and_suffix_order():
+    pats = [b"abcdabcdabcd", b"cdabcdabcd", b"dabcdabcd"]
+    text = b"..abcdabcdabcdabcd.."
+    got = run_cascade(pats, text, cascade_mode="sampled")
+    assert got == brute_force(pats, text)
+
+
+def test_sampled_ineligible_degenerate_alphabet():
+    # single-letter pattern: every gram is a member; the planner must
+    # refuse the sampled filter (candidate density ~1)
+    plan_m = Matcher([b"a" * 12])
+    plan = plan_cascade([b"a" * 12], plan_m.automaton,
+                        ScanConfig(cascade_mode="sampled"))
+    assert not plan.eligible
+
+
+def test_sampled_cascade_sharded_parity():
+    rng = random.Random(77)
+    patterns = [b"gammagammagam", b"aggregateagg!", b"magmamagmamag"]
+    docs = []
+    for _ in range(6):
+        d = bytearray(rng.choice(b"agmert!") for _ in range(5000))
+        for _ in range(5):
+            p = rng.choice(patterns)
+            pos = rng.randrange(0, len(d) - len(p))
+            d[pos : pos + len(p)] = p
+        docs.append(bytes(d))
+    pats = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=True,
+                     chunk_len=512, match_capacity=32,
+                     cascade_mode="sampled")
+    res = Matcher(pats, cfg).match_many(docs)
+    for doc, recs in zip(docs, res):
+        assert [(r["pos"], r["keyIdx"]) for r in recs] == brute_force(
+            patterns, doc
+        )
+
+
+def test_sampled_matches_anchored_engine():
+    rng = random.Random(13)
+    patterns = [bytes(rng.choice(b"abcd") for _ in range(12))
+                for _ in range(20)]
+    patterns = list(dict.fromkeys(patterns))
+    text = bytearray(rng.choice(b"abcd") for _ in range(30000))
+    for _ in range(30):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    sam = run_cascade(patterns, text, cascade_mode="sampled")
+    anc = run_cascade(patterns, text, cascade_mode="anchored")
+    assert sam == anc == brute_force(patterns, text)
