@@ -380,7 +380,9 @@ class Matcher:
                 [p.value for p in self._patterns], self.automaton, self.config
             )
             self._cascade = (
-                CascadeModel(self.automaton, plan, self.config)
+                CascadeModel(
+                    self.automaton, plan, self.config, dense_model=self.model
+                )
                 if plan.eligible
                 else None
             )
@@ -464,9 +466,9 @@ class Matcher:
             cm = self.cascade_model
             if use_mesh:
                 idx_np, n = self._run_sharded_cascade(packed, capacity)
+                it = cm.verify(packed, idx_np, n)
             else:
-                idx_np, n = cm.candidates_np(packed, capacity)
-            it = cm.verify(packed, idx_np, n)
+                it = cm.run(packed, capacity)
         elif engine == "kgram":
             k = self.kgram_model.k
             if use_mesh:

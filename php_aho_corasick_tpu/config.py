@@ -93,9 +93,9 @@ class ScanConfig:
     #: multi-stage blooms).
     cascade_mode: str = "auto"
 
-    #: log2 cap on the sampled positional bloom's word count (2**24 int32
-    #: words = 64 MiB HBM).
-    cascade_log2_words_max: int = 24
+    #: log2 cap on the sampled positional bloom's word count (2**26 int32
+    #: words = 256 MiB HBM — signature-scale sets need the headroom).
+    cascade_log2_words_max: int = 26
 
     #: planner bound on estimated candidate starts per scanned byte for the
     #: sampled cascade (host verification stays proportional to this).

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..config import ScanConfig
 from ..core.tables import CompiledAutomaton
-from ..ops.filter_jax import KNUTH
+from ..ops.filter_jax import GRAM_BASE, KNUTH
 from ..ops.matches import PackedRows
 
 
@@ -50,7 +50,7 @@ class CascadePlan:
     mode: str = "anchored"
     stride: int = 0
     log2_words: int = 0
-    sampled_salt: int = 0
+    sampled_salts: Tuple[int, ...] = ()
     sampled_words: Optional[np.ndarray] = None  # [2**log2_words] int32
     #: planner's estimated candidate starts per scanned byte (diagnostics)
     est_cand_density: float = 0.0
@@ -82,8 +82,10 @@ def _own_pat(auto: CompiledAutomaton) -> np.ndarray:
 
 
 #: measured per-lookup cost of the XLA gather unit on TPU v5e (seconds);
-#: see docs/PERF_NOTES.md — table-size independent down to tiny tables.
-_GATHER_S = 1 / 104e6
+#: see docs/PERF_NOTES.md — table-size independent (16 KiB - 64 MiB).
+_GATHER_S = 1 / 72e6
+#: blocked grid compaction, amortized per grid cell.
+_COMPACT_S = 5e-9
 #: amortized host-verification cost per candidate start (vectorized numpy
 #: root walk; most false candidates die within a few steps).
 _VERIFY_S = 30e-9
@@ -94,26 +96,52 @@ _ENUM_CAP = 64_000_000
 
 
 def _alignment_gram_codes(
-    longs: Sequence[bytes], bc: np.ndarray, C: int, q: int, s: int
+    longs: Sequence[bytes], q: int, s: int
 ) -> Tuple[np.ndarray, np.ndarray]:
     """``(codes, aligns)`` of every long pattern's q-gram at offsets
-    ``[0, s)`` — wrapping uint32 base-C codes, bit-identical to the device's
-    int32 arithmetic (ops/filter_jax.py sampled_gram_codes)."""
+    ``[0, s)`` — wrapping uint32 polynomial byte codes, bit-identical to
+    the device's int32 arithmetic (ops/filter_jax.py sampled_gram_codes,
+    base GRAM_BASE)."""
     by_len: dict = {}
     for p in longs:
         by_len.setdefault(len(p), []).append(p)
     codes: List[np.ndarray] = []
     aligns: List[np.ndarray] = []
+    base = np.uint32(GRAM_BASE)
     for n, ps in sorted(by_len.items()):
         arr = np.frombuffer(b"".join(ps), np.uint8).reshape(len(ps), n)
-        cls = bc[arr].astype(np.uint32)
+        u = arr.astype(np.uint32)
         for j in range(s):  # s <= min_long - q + 1 <= n - q + 1
             c = np.zeros(len(ps), np.uint32)
             for t in range(q):
-                c = c * np.uint32(C) + cls[:, j + t]
+                c = c * base + u[:, j + t]
             codes.append(c)
             aligns.append(np.full(len(ps), j, np.int32))
     return np.concatenate(codes), np.concatenate(aligns)
+
+
+def _sampled_cost(
+    q: int,
+    s: int,
+    n_entries: int,
+    log2_w: int,
+    n_probes: int,
+    A: int,
+    max_len: int,
+) -> Tuple[float, float]:
+    """Per-byte cost estimate + per-lookup hit rate of one sampled config
+    (constants from the measured primitives in docs/PERF_NOTES.md)."""
+    true_density = min(1.0, n_entries / float(A) ** q)
+    bits_per_word = n_probes * n_entries / float(1 << log2_w)
+    stray = 32.0 * (bits_per_word / 32.0) ** n_probes
+    hit_rate = min(1.0, 1.1 * true_density + stray)
+    win_len = s - 1 + max_len
+    if win_len <= 32:  # device window verify: ~(win + words) gathers/hit
+        verify = _GATHER_S * (win_len + win_len // 4 + 2) * hit_rate / s
+    else:  # host expand + verify through the relay
+        verify = 300e-9 * hit_rate / s
+    cost = _GATHER_S * n_probes / s + _COMPACT_S / s + verify
+    return cost, hit_rate
 
 
 def _plan_sampled(
@@ -122,35 +150,38 @@ def _plan_sampled(
     config: ScanConfig,
     min_long: int,
 ) -> Optional[dict]:
-    """Pick ``(q, stride, log2_words)`` for the strided positional bloom by
-    a simple per-byte cost model: one gather per ``stride`` positions plus
-    host verification proportional to expected candidate density.  Returns
-    None when no sampled configuration beats per-position anchored blooms
-    (e.g. min_long == q => stride 1)."""
+    """Pick ``(q, stride, log2_words, n_probes)`` for the strided
+    positional bloom by a per-byte cost model.  Returns None when no
+    sampled configuration is viable (e.g. min_long == q => stride 1, or
+    candidate density saturates)."""
     A = max(int(auto.used_bytes.shape[0]), 1)
     n_longs = len(longs)
     max_w = config.cascade_log2_words_max
+    max_len = auto.max_len
     best = None
     for q in range(min(16, min_long), config.cascade_min_q - 1, -1):
         s = min(_MAX_STRIDE, min_long - q + 1)
         if s < 2:
             continue
         n_entries = n_longs * s
-        log2_w = int(np.ceil(np.log2(max(n_entries, 1) * 32)))
-        log2_w = min(max(log2_w, 14), max_w)
-        true_density = min(1.0, n_entries / float(A) ** q)
-        fill = n_entries / float(1 << log2_w)
-        cand_per_byte = (1.1 * true_density + fill) / s
-        cost = _GATHER_S / s + _VERIFY_S * cand_per_byte
-        if best is None or cost < best["cost"]:
-            best = dict(
-                q=q, stride=s, log2_words=log2_w, cost=cost,
-                cand_per_byte=cand_per_byte,
-            )
-    if best is None:
-        return None
-    if best["cand_per_byte"] > config.cascade_max_cand_density:
-        return None
+        base_w = int(np.ceil(np.log2(max(n_entries, 1))))
+        for n_probes in (1, 2):
+            for log2_w in {
+                min(max(base_w + 5, 14), max_w),
+                min(max(base_w + 8, 14), max_w),
+                min(max(base_w + 10, 14), max_w),
+            }:
+                cost, hit_rate = _sampled_cost(
+                    q, s, n_entries, log2_w, n_probes, A, max_len
+                )
+                cand = hit_rate / s
+                if cand > config.cascade_max_cand_density:
+                    continue
+                if best is None or cost < best["cost"]:
+                    best = dict(
+                        q=q, stride=s, log2_words=log2_w,
+                        n_probes=n_probes, cost=cost, cand_per_byte=cand,
+                    )
     return best
 
 
@@ -180,27 +211,25 @@ def plan_cascade(
         if choice is not None and len(longs) * choice["stride"] <= _ENUM_CAP:
             q, s = choice["q"], choice["stride"]
             log2_w = choice["log2_words"]
-            salt = 0x85EBCA6B
-            codes, aligns = _alignment_gram_codes(
-                longs, auto.byte_class, auto.n_classes, q, s
-            )
-            h = ((codes ^ np.uint32(salt)) * np.uint32(KNUTH))
-            widx = (h >> np.uint32(32 - log2_w)).astype(np.int64)
+            salts = (0x85EBCA6B, 0xC2B2AE35)[: choice["n_probes"]]
+            codes, aligns = _alignment_gram_codes(longs, q, s)
+            bits = np.uint32(1) << aligns.astype(np.uint32)
             words = np.zeros(1 << log2_w, dtype=np.uint32)
-            np.bitwise_or.at(
-                words, widx, np.uint32(1) << aligns.astype(np.uint32)
-            )
+            for salt in salts:
+                h = (codes ^ np.uint32(salt)) * np.uint32(KNUTH)
+                widx = (h >> np.uint32(32 - log2_w)).astype(np.int64)
+                np.bitwise_or.at(words, widx, bits)
             # exact candidate-density estimate from the built filter
             n_distinct = np.unique(codes).shape[0]
-            true_density = min(1.0, n_distinct / float(
-                max(int(auto.used_bytes.shape[0]), 1)
-            ) ** q)
-            fill = float(codes.shape[0]) / float(1 << log2_w)
-            density = (1.1 * true_density + fill) / s
+            _, hit_rate = _sampled_cost(
+                q, s, n_distinct, log2_w, len(salts),
+                max(int(auto.used_bytes.shape[0]), 1), auto.max_len,
+            )
+            density = hit_rate / s
             if density <= config.cascade_max_cand_density:
                 return CascadePlan(
                     True,
-                    f"sampled q={q} stride={s}",
+                    f"sampled q={q} stride={s} probes={len(salts)}",
                     q=q,
                     shorts=shorts,
                     min_long_len=min_long,
@@ -208,7 +237,7 @@ def plan_cascade(
                     mode="sampled",
                     stride=s,
                     log2_words=log2_w,
-                    sampled_salt=salt,
+                    sampled_salts=salts,
                     sampled_words=words.view(np.int32),
                     est_cand_density=density,
                 )
@@ -256,16 +285,42 @@ def plan_cascade(
 
 
 class CascadeModel:
-    """Device candidate filter + host exact verifier."""
+    """Device candidate filter + exact verifier (device windows or host)."""
 
     def __init__(
-        self, auto: CompiledAutomaton, plan: CascadePlan, config: ScanConfig
+        self,
+        auto: CompiledAutomaton,
+        plan: CascadePlan,
+        config: ScanConfig,
+        dense_model=None,  # DenseDfaModel: shares its device table for
+        # the window-verify kernel instead of uploading a second copy
     ) -> None:
         assert plan.eligible
         self.auto = auto
         self.plan = plan
         self.config = config
+        self.dense_model = dense_model
         self._dev = None
+        #: adaptive capacities for the speculative A->B launch chain
+        self._cap_hits = 256
+        self._cap_flagged = 256
+
+    @property
+    def win_len(self) -> int:
+        """Window length of the device verifier: covers every occurrence
+        owned by one grid cell (long starts in ``[p-stride+1, p]``, short
+        starts in ``[p, p+stride)``)."""
+        return self.plan.stride - 1 + self.auto.max_len
+
+    @property
+    def device_verify_ok(self) -> bool:
+        """Device window verification needs the final-step bitmask to fit
+        an int32 and a dense model to share the transition table."""
+        return (
+            self.plan.mode == "sampled"
+            and self.win_len <= 32
+            and self.dense_model is not None
+        )
 
     @property
     def device_arrays(self):
@@ -298,7 +353,7 @@ class CascadeModel:
                 return "take"
         return impl
 
-    def scan_hits_sampled(self, chunks, lengths, emit_from, capacity: int):
+    def scan_hits_sampled(self, chunks, lengths, capacity: int):
         """One launch of the grid-domain sampled filter (ops/filter_jax.py
         filter_hits_sampled)."""
         import jax.numpy as jnp
@@ -309,17 +364,13 @@ class CascadeModel:
         p = self.plan
         return filter_hits_sampled(
             dev["sampled_words"],
-            dev["byte_class"],
-            dev["used_bytes"],
             jnp.asarray(chunks),
             jnp.asarray(lengths),
-            jnp.asarray(emit_from),
             dev["min_long_len"],
-            n_classes=self.auto.n_classes,
             q=p.q,
             stride=p.stride,
             log2_words=p.log2_words,
-            salt=p.sampled_salt,
+            salts=p.sampled_salts,
             shorts=p.shorts,
             capacity=capacity,
         )
@@ -360,13 +411,138 @@ class CascadeModel:
         starts = np.unique(np.concatenate(parts))
         return starts, starts.shape[0]
 
+    def run(self, packed: PackedRows, capacity: int, dev_inputs=None):
+        """Full cascade on one device: filter (+ device window verify when
+        available) and return the reference-order match iterator.
+
+        ``dev_inputs``: optional ``(chunks, lengths, emit_from)`` already on
+        device — steady-state callers scanning one resident corpus many
+        times (benchmarks, resident-corpus serving) skip the re-upload."""
+        if self.plan.mode == "sampled" and self.device_verify_ok:
+            import jax.numpy as jnp
+
+            from ..ops.filter_jax import verify_windows
+
+            if dev_inputs is not None:
+                chunks_d, lengths_d, _ = dev_inputs
+            else:
+                # one host->device upload, shared by every retry + phase B
+                chunks_d = jnp.asarray(packed.chunks)
+                lengths_d = jnp.asarray(packed.lengths)
+            # Speculative A->B chaining: both kernels are dispatched
+            # back-to-back with NO host fetch in between, and the two
+            # occupancy scalars come back in ONE fetch — per-dispatch
+            # round-trips cost ~25 ms on a tunneled TPU grant
+            # (docs/PERF_NOTES.md), which otherwise dwarfs the kernels.
+            # Phase A capacity adapts to the last observed hit count.
+            cap_a = max(self._cap_hits, min(capacity, 4096))
+            cap_b = self._cap_flagged
+            dd = self.dense_model.device_arrays
+            dev = self.device_arrays
+            while True:
+                idx, _lw, _sw, n_d = self.scan_hits_sampled(
+                    chunks_d, lengths_d, cap_a
+                )
+                cells, _masks, nf_d = verify_windows(
+                    dd["table_flat"],
+                    dev["byte_class"],
+                    dev["used_bytes"],
+                    chunks_d,
+                    lengths_d,
+                    idx,
+                    dd["final_start"],
+                    n_classes=self.auto.n_classes,
+                    stride=self.plan.stride,
+                    win_len=self.win_len,
+                    capacity=cap_b,
+                    n_hits=cap_a,
+                )
+                n, nf = map(int, np.asarray(jnp.stack([n_d, nf_d])))
+                if n <= cap_a and nf <= cap_b:
+                    break
+                if n > cap_a:
+                    cap_a = _next_pow2(n)
+                if nf > cap_b:
+                    cap_b = _next_pow2(nf)
+            self._cap_hits = max(256, _next_pow2(n + n // 4))
+            self._cap_flagged = cap_b
+            if nf == 0:
+                return iter(())  # common case: nothing crosses the relay
+            return self.emit_windows(packed, np.asarray(cells), nf)
+        idx_np, n = self.candidates_np(packed, capacity)
+        return self.verify(packed, idx_np, n)
+
+    def emit_windows(
+        self, packed: PackedRows, win_cells: np.ndarray, n_flagged: int
+    ) -> Iterator[Tuple[int, int, np.ndarray]]:
+        """Host re-walk of the (rare) flagged windows; applies the
+        exactly-once ownership rules and yields ``(doc, end_pos, [pid])``
+        in reference emission order.
+
+        Ownership: a long occurrence at start ``t`` belongs to the window
+        of its guaranteed grid hit ``ceil(t / stride)``; a short one to
+        ``floor(t / stride)`` — each match is accepted by exactly one
+        flagged window even when neighboring windows overlap it."""
+        if n_flagged == 0:
+            return iter(())
+        auto = self.auto
+        s = self.plan.stride
+        L = packed.row_len
+        M = -(-L // s)
+        g = win_cells[:n_flagged].astype(np.int64)
+        rows = g // M
+        m = g % M
+        w0 = m * s - (s - 1)
+        table = auto.table
+        bc = auto.byte_class
+        row_len = packed.lengths[rows].astype(np.int64)
+        row_emit = packed.emit_from[rows].astype(np.int64)
+        short_limit = self.config.cascade_min_q
+        states = np.zeros(g.shape[0], dtype=np.int64)
+        out: List[Tuple[int, int, int, int]] = []  # (row, end, start, pid)
+        for j in range(self.win_len):
+            pos = w0 + j
+            valid = (pos >= 0) & (pos < row_len)
+            byte = packed.chunks[rows, np.clip(pos, 0, L - 1)]
+            cls = np.where(valid, bc[byte], 0)
+            states = table[states, cls].astype(np.int64)
+            fin = np.nonzero((states >= auto.final_start) & valid)[0]
+            for i in fin:
+                st = states[i]
+                e = int(pos[i])  # end-1 byte index
+                if not (row_emit[i] <= e < row_len[i]):
+                    continue
+                lo, hi = auto.emit_start[st], auto.emit_start[st + 1]
+                for pid in auto.emit_pats[lo:hi]:
+                    ln = int(auto.pat_lens[pid])
+                    t = e + 1 - ln
+                    if ln >= short_limit:
+                        owner = -(-t // s)  # ceil
+                    else:
+                        owner = t // s
+                    if owner == m[i]:
+                        out.append((int(rows[i]), e + 1, t, int(pid)))
+        if not out:
+            return iter(())
+        arr = np.asarray(out, dtype=np.int64)
+        order = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))
+        docs = packed.doc_id[arr[order, 0]]
+        ends = packed.global_off[arr[order, 0]] + arr[order, 1]
+        pids = arr[order, 3]
+
+        def gen():
+            for i in range(order.shape[0]):
+                yield int(docs[i]), int(ends[i]), pids[i : i + 1]
+
+        return gen()
+
     def candidates_np(self, packed: PackedRows, capacity: int):
         """Device filter + capacity retry + (sampled) host bit expansion.
         Returns ``(start_idx np, n_starts)`` ready for :meth:`verify`."""
         if self.plan.mode == "sampled":
             while True:
                 idx, lw, sw, n = self.scan_hits_sampled(
-                    packed.chunks, packed.lengths, packed.emit_from, capacity
+                    packed.chunks, packed.lengths, capacity
                 )
                 n = int(n)
                 if n <= capacity:

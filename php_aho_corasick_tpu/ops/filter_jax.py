@@ -106,48 +106,69 @@ def short_pattern_mask(
     return mask
 
 
+#: polynomial rolling-hash base for sampled gram codes (odd => every byte
+#: position keeps full weight mod 2^32; base 256 would zero out weights
+#: past the 4th byte).  Shared by device kernel and host plan builder.
+GRAM_BASE = 0x01000193  # FNV-1 prime
+
+
 def sampled_gram_codes(
-    cls: jax.Array, q: int, stride: int, n_classes: int
+    chunks: jax.Array, q: int, stride: int
 ) -> jax.Array:
-    """q-gram class codes at the sampled grid positions ``p = m * stride``
-    only (``[B, M]`` with ``M = ceil(L / stride)``) — the dense rolling-code
-    array is never materialized.  Codes wrap in int32 (hash input only);
-    grid grams overrunning the row read trailing zeros, which is harmless:
-    such positions cannot be the in-row gram of a full occurrence (the
-    occurrence's own grid gram always lies inside the row)."""
-    B, L = cls.shape
+    """Polynomial q-gram byte codes ``sum_j byte[p+j] * GRAM_BASE^(q-1-j)``
+    (wrapping int32) at the sampled grid positions ``p = m * stride`` only
+    (``[B, M]``, ``M = ceil(L / stride)``) — no dense rolling-code array,
+    and no byte->class lookup at all: raw bytes give a *finer* partition
+    than classes (a gram containing a byte unused by every pattern can
+    never equal a pattern gram), so membership filtering stays sound and
+    gets strictly more selective.
+
+    Implemented with cell-aligned reshapes/slices only (TPU vector loads
+    are lane-aligned; a stride-s slice of the byte axis would relayout
+    through cross-lane shuffles): position ``p + j`` lives in cell
+    ``i = j // stride``, lane ``r = j % stride`` of the ``[B, M', stride]``
+    reshape, so the code is a per-cell weighted reduction.  Grid grams
+    overrunning the row read trailing zeros, which is harmless: such
+    positions cannot be the in-row gram of a full occurrence."""
+    import numpy as np
+
+    B, L = chunks.shape
     M = -(-L // stride)
-    pad = jnp.zeros((B, M * stride + q - L), jnp.int32)
-    ext = jnp.concatenate([cls, pad], axis=1)
+    extra = -(-q // stride)  # whole zero cells covering the gram overhang
+    pad = jnp.zeros((B, (M + extra) * stride - L), chunks.dtype)
+    b3 = jnp.concatenate([chunks, pad], axis=1).reshape(
+        B, M + extra, stride
+    )
     code = jnp.zeros((B, M), jnp.int32)
-    for j in range(q):
-        sl = jax.lax.slice(
-            ext, (0, j), (B, j + (M - 1) * stride + 1), (1, stride)
-        )
-        code = code * n_classes + sl
+    for i in range(extra + 1):
+        w = np.zeros(stride, np.int64)
+        for r in range(stride):
+            j = i * stride + r
+            if j < q:
+                w[r] = pow(GRAM_BASE, q - 1 - j, 1 << 32)
+        if not w.any():
+            continue
+        w32 = jnp.asarray(w.astype(np.uint32).view(np.int32))
+        part = b3[:, i : M + i, :].astype(jnp.int32) * w32[None, None, :]
+        code = code + jnp.sum(part, axis=2, dtype=jnp.int32)
     return code
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_classes", "q", "stride", "log2_words", "salt", "shorts",
-        "capacity",
+        "q", "stride", "log2_words", "salts", "shorts", "capacity",
     ),
 )
 def filter_hits_sampled(
     words: jax.Array,  # [2**log2_words] int32 positional bloom
-    byte_class: jax.Array,
-    used_bytes: jax.Array,
     chunks: jax.Array,  # [B, L] uint8
     lengths: jax.Array,  # [B] int32
-    emit_from: jax.Array,  # [B] int32
     min_long_len: jax.Array,  # scalar int32 (0 disables the long path)
-    n_classes: int,
     q: int,
     stride: int,
     log2_words: int,
-    salt: int,
+    salts: Tuple[int, ...],
     shorts: Tuple[bytes, ...],
     capacity: int,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -181,11 +202,17 @@ def filter_hits_sampled(
     ``n_hits > capacity``."""
     B, L = chunks.shape
     M = -(-L // stride)
-    cls = _classes(chunks, byte_class, used_bytes)
-    code = sampled_gram_codes(cls, q, stride, n_classes)
-    h = (code.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
-    widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
-    w = jnp.take(words, widx)  # [B, M] — THE gather
+    code = sampled_gram_codes(chunks, q, stride)
+    # one probe per salt, alignment masks AND-combined: a true gram has
+    # bit j set at every salted slot by construction, while stray bits
+    # from fill must coincide across independent probes (rate^n_probes) —
+    # the lever that keeps million-pattern filters selective
+    w = None
+    for salt in salts:
+        h = (code.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+        widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+        probe = jnp.take(words, widx)  # [B, M] — THE gather
+        w = probe if w is None else (w & probe)
     w = jnp.where(min_long_len > 0, w, 0)
 
     if shorts:
@@ -201,14 +228,156 @@ def filter_hits_sampled(
     else:
         sw = jnp.zeros((B, M), jnp.int32)
 
-    hit = ((w | sw) != 0).reshape(-1)
+    # two-level compaction: nonzero costs ~12-17 ns/element on v5e
+    # (docs/PERF_NOTES.md), so reduce 8-cell blocks first (hits are
+    # sparse) and run the exact compaction on flagged blocks only
+    BLK = 8
+    hit = (w | sw) != 0
     n_hits = hit.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(hit, size=capacity, fill_value=INT32_MAX)
-    idx = idx.astype(jnp.int32)
+    NB = -(-B * M // BLK)
+    hit_p = jnp.concatenate(
+        [hit.reshape(-1), jnp.zeros(NB * BLK - B * M, jnp.bool_)]
+    ).reshape(NB, BLK)
+    blk_any = hit_p.any(axis=1)
+    (bidx,) = jnp.nonzero(blk_any, size=capacity, fill_value=INT32_MAX)
+    safe_b = jnp.minimum(bidx, NB - 1).astype(jnp.int32)
+    sub = jnp.take(hit_p, safe_b, axis=0)  # [cap, BLK]
+    sub &= (bidx < INT32_MAX)[:, None]
+    (fin,) = jnp.nonzero(
+        sub.reshape(-1), size=capacity, fill_value=INT32_MAX
+    )
+    fin32 = fin.astype(jnp.int32)
+    safe_f = jnp.minimum(fin32, capacity * BLK - 1)
+    cell_of = (
+        jnp.take(safe_b, safe_f // BLK) * BLK + safe_f % BLK
+    ).astype(jnp.int32)
+    idx = jnp.where(fin32 < INT32_MAX, cell_of, INT32_MAX)
     safe = jnp.minimum(idx, B * M - 1)
     lw = jnp.where(idx < INT32_MAX, jnp.take(w.reshape(-1), safe), 0)
     swo = jnp.where(idx < INT32_MAX, jnp.take(sw.reshape(-1), safe), 0)
     return idx, lw, swo, n_hits
+
+
+_PACK_LE: dict = {}
+
+
+def _bitcast_packs_le() -> bool:
+    """One probe per backend: does ``bitcast_convert_type(uint8[..., 4] ->
+    int32)`` put element 0 in the low byte?  (XLA defines the packing via
+    the platform layout; verify instead of assuming.)"""
+    import jax as _jax
+
+    key = _jax.default_backend()
+    if key not in _PACK_LE:
+        with _jax.ensure_compile_time_eval():  # may run inside a trace
+            probe = jnp.asarray([[1, 2, 3, 4]], jnp.uint8)
+            got = int(jax.lax.bitcast_convert_type(probe, jnp.int32)[0])
+        _PACK_LE[key] = got == 0x04030201
+    return _PACK_LE[key]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_classes", "stride", "win_len", "capacity", "n_hits"),
+)
+def verify_windows(
+    table_flat: jax.Array,  # [S*C] int16/int32 dense transition table
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8, L % 4 == 0 (ROW_ALIGN)
+    lengths: jax.Array,  # [B] int32
+    grid_idx: jax.Array,  # [>=n_hits] int32 b*M+m hits, INT32_MAX-padded
+    final_start: jax.Array,  # scalar int32
+    n_classes: int,
+    stride: int,
+    win_len: int,  # (stride - 1) + max_pattern_len, <= 32
+    capacity: int,
+    n_hits: int,  # static pow2 slot count; slices grid_idx in-jit
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Device verification of sampled-filter hits: walk the dense DFA over
+    each hit's candidate window so only *matching* windows ever leave the
+    device (the match-free common case fetches two scalars — on rigs where
+    host<->device transfers are slow this beats shipping candidate buffers
+    to a host verifier).
+
+    Window of the hit at grid point ``p = m * stride``: ``[p - stride + 1,
+    p + max_len)`` — it contains every occurrence whose *own* guaranteed
+    hit is this cell (long starts in ``[p-stride+1, p]``, short starts in
+    ``[p, p+stride)``).  The walk starts from the root at the window head,
+    so any final state it reaches is a genuine in-window match; positions
+    outside ``[0, length)`` contribute class 0 which pins the DFA at the
+    root (unused-byte transitions all lead there).
+
+    Window bytes are fetched as aligned int32 words (4 bytes per gather
+    against the no-vector-gather v5e) and re-assembled on the VPU.
+
+    Returns ``(win_cell [cap] — grid ids of windows containing >= 1 final
+    position, ascending; final_steps [cap] int32 bitmask of window steps
+    that hit a final state; n_flagged)``.  The host re-walks only flagged
+    windows (work proportional to matches) and applies the exactly-once
+    ownership rules (models/cascade.py emit_windows)."""
+    B, L = chunks.shape
+    M = -(-L // stride)
+    H = min(n_hits, grid_idx.shape[0])
+    grid_idx = grid_idx[:H]
+    W = win_len
+    active = grid_idx < INT32_MAX
+    g = jnp.where(active, grid_idx, 0)
+    b = g // M
+    w0 = (g % M) * stride - (stride - 1)  # window head (may be < 0)
+
+    j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    base = b * L + w0
+    if _bitcast_packs_le():
+        # fetch aligned int32 words covering [w0, w0 + W) — 4 bytes per
+        # gather op; the uint8->int32 repack is a layout bitcast, not a
+        # compute pass (the shift-assembled pack measured ~60 ms/33 MiB
+        # on v5e, docs/PERF_NOTES.md)
+        word0 = base >> 2
+        off = base & 3
+        nwords = (W + 3) // 4 + 1
+        words_flat = jax.lax.bitcast_convert_type(
+            chunks.reshape(B * L // 4, 4), jnp.int32
+        )
+        widx = jnp.clip(
+            word0[:, None] + jnp.arange(nwords, dtype=jnp.int32)[None, :],
+            0, B * L // 4 - 1,
+        )
+        got = jnp.take(words_flat, widx)  # [H, nwords] — the word gather
+        # assemble byte j: word lane (off+j)>>2, in-word byte (off+j)&3
+        lane = (off[:, None] + j_idx) >> 2  # [H, W] in [0, nwords)
+        sel = jnp.zeros((H, W), jnp.int32)
+        for wsel in range(nwords):
+            sel = jnp.where(lane == wsel, got[:, wsel][:, None], sel)
+        byte = (sel >> (((off[:, None] + j_idx) & 3) * 8)) & 0xFF
+    else:  # big-endian packing: gather window bytes directly (W per hit)
+        bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
+        byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
+
+    pos = w0[:, None] + j_idx
+    valid = (pos >= 0) & (pos < lengths[b][:, None]) & active[:, None]
+    cls = _classes(byte.astype(jnp.uint8), byte_class, used_bytes)
+    cls = jnp.where(valid, cls, 0)
+
+    # unrolled walk (W <= 32 static): lax.scan's per-step loop overhead
+    # measurably dominates these small [H] gathers on the remote backend
+    state = jnp.zeros((H,), jnp.int32)
+    mask = jnp.zeros((H,), jnp.int32)
+    for j in range(W):
+        state = jnp.take(table_flat, state * n_classes + cls[:, j]).astype(
+            jnp.int32
+        )
+        fin = (state >= final_start) & valid[:, j]
+        mask = mask | (fin.astype(jnp.int32) << j)
+    flagged = mask != 0
+    n_flagged = flagged.sum(dtype=jnp.int32)
+    (slot,) = jnp.nonzero(flagged, size=capacity, fill_value=INT32_MAX)
+    safe = jnp.minimum(slot, H - 1)
+    win_cell = jnp.where(
+        slot < INT32_MAX, jnp.take(grid_idx, safe), INT32_MAX
+    )
+    out_mask = jnp.where(slot < INT32_MAX, jnp.take(mask, safe), 0)
+    return win_cell, out_mask, n_flagged
 
 
 @functools.partial(

@@ -212,25 +212,20 @@ def _sharded_call_cascade(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "n_classes", "q", "stride", "log2_words", "salt", "shorts",
-        "capacity",
+        "mesh", "q", "stride", "log2_words", "salts", "shorts", "capacity",
     ),
 )
 def _sharded_call_cascade_sampled(
     words,
-    byte_class,
-    used_bytes,
     chunks,
     lengths,
-    emit_from,
     min_long_len,
     *,
     mesh: Mesh,
-    n_classes: int,
     q: int,
     stride: int,
     log2_words: int,
-    salt: int,
+    salts,
     shorts,
     capacity: int,
 ):
@@ -238,11 +233,11 @@ def _sharded_call_cascade_sampled(
 
     data, rep = P(DATA_AXIS), P()
 
-    def local_fn(w, bc, ub, ch, ln, ef, mll):
+    def local_fn(w, ch, ln, mll):
         idx, lw, sw, n = filter_hits_sampled(
-            w, bc, ub, ch, ln, ef, mll,
-            n_classes=n_classes, q=q, stride=stride, log2_words=log2_words,
-            salt=salt, shorts=shorts, capacity=capacity,
+            w, ch, ln, mll,
+            q=q, stride=stride, log2_words=log2_words,
+            salts=salts, shorts=shorts, capacity=capacity,
         )
         shard = jax.lax.axis_index(DATA_AXIS)
         # grid cells per shard: rows x ceil(row_len / stride)
@@ -253,13 +248,10 @@ def _sharded_call_cascade_sampled(
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(rep, rep, rep, data, data, data, rep),
+        in_specs=(rep, data, data, rep),
         out_specs=(data, data, data, data),
     )
-    return fn(
-        words, byte_class, used_bytes, chunks, lengths, emit_from,
-        min_long_len,
-    )
+    return fn(words, chunks, lengths, min_long_len)
 
 
 def sharded_filter_hits_sampled(
@@ -278,18 +270,14 @@ def sharded_filter_hits_sampled(
     dev = cascade_model.device_arrays
     return _sharded_call_cascade_sampled(
         dev["sampled_words"],
-        dev["byte_class"],
-        dev["used_bytes"],
         chunks,
         lengths,
-        emit_from,
         dev["min_long_len"],
         mesh=mesh,
-        n_classes=cascade_model.auto.n_classes,
         q=plan.q,
         stride=plan.stride,
         log2_words=plan.log2_words,
-        salt=plan.sampled_salt,
+        salts=plan.sampled_salts,
         shorts=plan.shorts,
         capacity=capacity,
     )

@@ -250,20 +250,23 @@ def test_expand_hits_matches_bruteforce():
 
 def test_sampled_gram_codes_match_host():
     import jax.numpy as jnp
-    from php_aho_corasick_tpu.models.cascade import _gram_code_u32
-    from php_aho_corasick_tpu.ops.filter_jax import sampled_gram_codes
+    from php_aho_corasick_tpu.ops.filter_jax import (
+        GRAM_BASE, sampled_gram_codes,
+    )
 
     rng = np.random.default_rng(9)
-    B, L, q, stride, C = 2, 77, 8, 5, 7
-    cls = rng.integers(0, C, (B, L), dtype=np.int64).astype(np.int32)
+    B, L, q, stride = 2, 77, 8, 5
+    chunks = rng.integers(0, 256, (B, L), dtype=np.int64).astype(np.uint8)
     got = np.asarray(
-        sampled_gram_codes(jnp.asarray(cls), q, stride, C)
+        sampled_gram_codes(jnp.asarray(chunks), q, stride)
     ).astype(np.uint32)
-    ext = np.concatenate([cls, np.zeros((B, q), np.int32)], axis=1)
+    ext = np.concatenate([chunks, np.zeros((B, q), np.uint8)], axis=1)
     for b in range(B):
         for m in range(got.shape[1]):
             p = m * stride
-            want = _gram_code_u32(ext[b, p : p + q], C)
+            want = 0
+            for t in range(q):
+                want = (want * GRAM_BASE + int(ext[b, p + t])) & 0xFFFFFFFF
             assert got[b, m] == want, (b, m)
 
 
