@@ -3,10 +3,12 @@
 (virus-signature style, hex alphabet), HBM-resident transition table,
 one chip.
 
-At this scale per-stage blooms saturate (cascade ineligible) and k-gram
-composition exceeds any budget, so the scan runs on the dense 1-gram DFA —
-gather-bound, the honest floor.  Scaling beyond it is the data-parallel
-mesh story (bench_scaling.py).
+At this scale k-gram composition exceeds any budget and anchored blooms
+saturate, but the *sampled* cascade holds: a 2-probe positional bloom keeps
+the filter selective at ~9M (gram, alignment) entries, and candidate
+windows verify on-device.  The dense 1-gram DFA remains the fallback
+comparison (gather-bound floor).  Scaling beyond one chip is the
+data-parallel mesh story (bench_scaling.py).
 
   python benchmarks/bench_signatures.py [--needles 1000000] [--mib 64]
 """
@@ -39,7 +41,7 @@ def main():
     patterns = [bytes(raw[i]) for i in range(args.needles)]
 
     t0 = time.time()
-    cfg = ScanConfig(backend="device", engine="dfa", chunk_len=2048)
+    cfg = ScanConfig(backend="device", chunk_len=4096)
     m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
     m.finalize()
     build_s = time.time() - t0
@@ -69,24 +71,53 @@ def main():
     ln = jnp.asarray(packed.lengths)
     ef = jnp.asarray(packed.emit_from)
 
-    def launch():
-        idx, sts, n, carry = m.model.scan_compact_device(
-            ch, ln, ef, None, 1 << 16
-        )
-        return int(n)
+    engine = m._pick_engine(n_bytes)
+    cm = m.cascade_model if engine == "cascade" else None
+    if cm is not None:
+        print(f"engine: cascade ({cm.plan.reason}, "
+              f"bloom {4 << cm.plan.log2_words >> 20} MiB, "
+              f"device_verify={cm.device_verify_ok})")
+
+        def launch():
+            return sum(1 for _ in cm.run(packed, 1 << 16,
+                                         dev_inputs=(ch, ln, ef)))
+    else:
+        print(f"engine: {engine} (dense dfa fallback)")
+
+        def launch():
+            idx, sts, n, carry = m.model.scan_compact_device(
+                ch, ln, ef, None, 1 << 16
+            )
+            return int(n)
 
     n = launch()  # warm
-    t0 = time.time()
+    n = launch()  # adaptive capacities settle
+    times = []
     reps = 3
     for _ in range(reps):
+        t0 = time.time()
         n = launch()
-    dt = (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    dt = sorted(times)[reps // 2]
     print(
         f"scan: {dt*1e3:.0f} ms for {args.mib} MiB -> "
         f"{n_bytes / dt / 1e9:.3f} GB/s/chip; matches={n} "
         f"(planted {planted})"
     )
     assert n >= planted
+
+    # dense-DFA comparison point on the same corpus
+    def launch_dfa():
+        idx, sts, nd, carry = m.model.scan_compact_device(
+            ch, ln, ef, None, 1 << 16
+        )
+        return int(nd)
+
+    launch_dfa()
+    t0 = time.time()
+    launch_dfa()
+    ddt = time.time() - t0
+    print(f"dfa fallback: {ddt*1e3:.0f} ms -> {n_bytes / ddt / 1e9:.3f} GB/s")
 
 
 if __name__ == "__main__":
