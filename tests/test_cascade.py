@@ -371,6 +371,29 @@ def test_sampled_cascade_sharded_parity():
         )
 
 
+def test_sampled_two_probe_parity():
+    # a tiny bloom cap saturates the 1-probe filter; the planner must
+    # escalate to 2 AND-combined probes and stay exact
+    rng = random.Random(99)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(300)
+    })
+    text = bytearray(rng.choice(b"abcdef") for _ in range(20000))
+    for _ in range(10):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     cascade_mode="sampled", cascade_log2_words_max=14)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    m.finalize()
+    plan = m.cascade_model.plan
+    assert len(plan.sampled_salts) == 2, plan.reason
+    got = [(r["pos"], r["keyIdx"]) for r in m.match(text)]
+    assert got == brute_force(patterns, text)
+
+
 def test_sampled_matches_anchored_engine():
     rng = random.Random(13)
     patterns = [bytes(rng.choice(b"abcd") for _ in range(12))
