@@ -465,8 +465,7 @@ class Matcher:
         if engine == "cascade":
             cm = self.cascade_model
             if use_mesh:
-                idx_np, n = self._run_sharded_cascade(packed, capacity)
-                it = cm.verify(packed, idx_np, n)
+                it = self._run_sharded_cascade(packed, capacity)
             else:
                 it = cm.run(packed, capacity)
         elif engine == "kgram":
@@ -520,7 +519,12 @@ class Matcher:
         return engine
 
     def _run_sharded_cascade(self, packed: PackedRows, capacity: int):
-        """Mesh-sharded cascade candidate filter with exact retry."""
+        """Mesh-sharded cascade: returns the match-emission iterator.
+
+        Sampled plans with device verification run the chained
+        filter+window-verify pass per shard (one shard_map dispatch);
+        other plans fall back to sharded candidate filtering + host
+        verification."""
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -529,6 +533,7 @@ class Matcher:
         from .parallel.shard_scan import (
             sharded_filter_candidates,
             sharded_filter_hits_sampled,
+            sharded_sampled_verified,
         )
 
         mesh = data_mesh()
@@ -537,6 +542,32 @@ class Matcher:
         lengths = jax.device_put(jnp.asarray(packed.lengths), row)
         emit_from = jax.device_put(jnp.asarray(packed.emit_from), row)
         cm = self.cascade_model
+        if cm.plan.mode == "sampled" and cm.device_verify_ok:
+            cap_a = max(cm._cap_hits, min(capacity, 4096))
+            cap_b = cm._cap_flagged
+            while True:
+                cells, _masks, ns, nfs = sharded_sampled_verified(
+                    mesh, cm, chunks, lengths, cap_a, cap_b
+                )
+                n = int(np.asarray(ns).max(initial=0))
+                nf = int(np.asarray(nfs).max(initial=0))
+                if n <= cap_a and nf <= cap_b:
+                    break
+                if n > cap_a:
+                    cap_a = _next_pow2(n)
+                if nf > cap_b:
+                    cap_b = _next_pow2(nf)
+            cm._cap_hits = max(256, _next_pow2(n + n // 4))
+            cm._cap_flagged = cap_b
+            cells2d = np.asarray(cells)
+            nf_np = np.asarray(nfs)
+            parts = [
+                cells2d[s, : nf_np[s]] for s in range(cells2d.shape[0])
+            ]
+            merged = (
+                np.concatenate(parts) if parts else np.zeros(0, np.int32)
+            )
+            return cm.emit_windows(packed, merged, merged.shape[0])
         if cm.plan.mode == "sampled":
             while True:
                 idx, lw, sw, counts = sharded_filter_hits_sampled(
@@ -559,7 +590,7 @@ class Matcher:
             merged = (
                 np.concatenate(parts) if parts else np.zeros(0, np.int64)
             )
-            return merged, total
+            return cm.verify(packed, merged, total)
         while True:
             idx, counts = sharded_filter_candidates(
                 mesh, cm, chunks, lengths, emit_from, capacity
@@ -573,7 +604,7 @@ class Matcher:
         merged = (
             np.concatenate(parts) if parts else np.zeros(0, np.int32)
         )
-        return merged, int(counts_np.sum())
+        return cm.verify(packed, merged, int(counts_np.sum()))
 
     def _run_sharded(self, packed: PackedRows, capacity: int, engine: str):
         """Mesh-sharded scan with exact capacity-retry (see parallel/)."""

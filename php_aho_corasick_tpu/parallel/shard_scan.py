@@ -254,6 +254,107 @@ def _sharded_call_cascade_sampled(
     return fn(words, chunks, lengths, min_long_len)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_classes", "q", "stride", "log2_words", "salts", "shorts",
+        "win_len", "cap_hits", "cap_flagged",
+    ),
+)
+def _sharded_call_sampled_verified(
+    words,
+    table_flat,
+    byte_class,
+    used_bytes,
+    chunks,
+    lengths,
+    min_long_len,
+    final_start,
+    *,
+    mesh: Mesh,
+    n_classes: int,
+    q: int,
+    stride: int,
+    log2_words: int,
+    salts,
+    shorts,
+    win_len: int,
+    cap_hits: int,
+    cap_flagged: int,
+):
+    """Sampled filter + device window verification chained inside ONE
+    shard_map dispatch — each shard's flagged windows come back as global
+    grid-cell ids; everything else stays on its chip."""
+    from ..ops.filter_jax import filter_hits_sampled, verify_windows
+
+    data, rep = P(DATA_AXIS), P()
+
+    def local_fn(w, tf, bc, ub, ch, ln, mll, fs):
+        idx, _lw, _sw, n = filter_hits_sampled(
+            w, ch, ln, mll,
+            q=q, stride=stride, log2_words=log2_words,
+            salts=salts, shorts=shorts, capacity=cap_hits,
+        )
+        cells, masks, nf = verify_windows(
+            tf, bc, ub, ch, ln, idx, fs,
+            n_classes=n_classes, stride=stride, win_len=win_len,
+            capacity=cap_flagged, n_hits=cap_hits,
+        )
+        shard = jax.lax.axis_index(DATA_AXIS)
+        local_cells = ch.shape[0] * (-(-ch.shape[1] // stride))
+        cells = jnp.where(
+            cells < INT32_MAX, cells + shard * local_cells, cells
+        )
+        return cells[None], masks[None], n[None], nf[None]
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, data, data, rep, rep),
+        out_specs=(data, data, data, data),
+    )
+    return fn(
+        words, table_flat, byte_class, used_bytes, chunks, lengths,
+        min_long_len, final_start,
+    )
+
+
+def sharded_sampled_verified(
+    mesh: Mesh,
+    cascade_model,
+    chunks,
+    lengths,
+    cap_hits: int,
+    cap_flagged: int,
+):
+    """Mesh wrapper for the chained sampled-filter + window-verify pass.
+    Returns ``(cells [n_shards, capB] global grid ids, masks, n_hits
+    [n_shards], n_flagged [n_shards])``."""
+    plan = cascade_model.plan
+    dev = cascade_model.device_arrays
+    dd = cascade_model.dense_model.device_arrays
+    return _sharded_call_sampled_verified(
+        dev["sampled_words"],
+        dd["table_flat"],
+        dev["byte_class"],
+        dev["used_bytes"],
+        chunks,
+        lengths,
+        dev["min_long_len"],
+        dd["final_start"],
+        mesh=mesh,
+        n_classes=cascade_model.auto.n_classes,
+        q=plan.q,
+        stride=plan.stride,
+        log2_words=plan.log2_words,
+        salts=plan.sampled_salts,
+        shorts=plan.shorts,
+        win_len=cascade_model.win_len,
+        cap_hits=cap_hits,
+        cap_flagged=cap_flagged,
+    )
+
+
 def sharded_filter_hits_sampled(
     mesh: Mesh,
     cascade_model,
