@@ -36,7 +36,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .scan_jax import INT32_MAX, _classes
+from .scan_jax import INT32_MAX, _classes, blocked_nonzero
 
 KNUTH = 2654435761  # Knuth multiplicative hash constant
 
@@ -228,30 +228,10 @@ def filter_hits_sampled(
     else:
         sw = jnp.zeros((B, M), jnp.int32)
 
-    # two-level compaction: nonzero costs ~12-17 ns/element on v5e
-    # (docs/PERF_NOTES.md), so reduce 8-cell blocks first (hits are
-    # sparse) and run the exact compaction on flagged blocks only
-    BLK = 8
+    # two-level compaction on the (sparse) grid-hit mask — see
+    # scan_jax.blocked_nonzero for the cost rationale
     hit = (w | sw) != 0
-    n_hits = hit.sum(dtype=jnp.int32)
-    NB = -(-B * M // BLK)
-    hit_p = jnp.concatenate(
-        [hit.reshape(-1), jnp.zeros(NB * BLK - B * M, jnp.bool_)]
-    ).reshape(NB, BLK)
-    blk_any = hit_p.any(axis=1)
-    (bidx,) = jnp.nonzero(blk_any, size=capacity, fill_value=INT32_MAX)
-    safe_b = jnp.minimum(bidx, NB - 1).astype(jnp.int32)
-    sub = jnp.take(hit_p, safe_b, axis=0)  # [cap, BLK]
-    sub &= (bidx < INT32_MAX)[:, None]
-    (fin,) = jnp.nonzero(
-        sub.reshape(-1), size=capacity, fill_value=INT32_MAX
-    )
-    fin32 = fin.astype(jnp.int32)
-    safe_f = jnp.minimum(fin32, capacity * BLK - 1)
-    cell_of = (
-        jnp.take(safe_b, safe_f // BLK) * BLK + safe_f % BLK
-    ).astype(jnp.int32)
-    idx = jnp.where(fin32 < INT32_MAX, cell_of, INT32_MAX)
+    idx, n_hits = blocked_nonzero(hit.reshape(-1), capacity)
     safe = jnp.minimum(idx, B * M - 1)
     lw = jnp.where(idx < INT32_MAX, jnp.take(w.reshape(-1), safe), 0)
     swo = jnp.where(idx < INT32_MAX, jnp.take(sw.reshape(-1), safe), 0)
@@ -447,7 +427,5 @@ def filter_candidates(
     # any match from start p ends at >= p (length >= 1): drop starts whose
     # best-case end still precedes the emission window
     cand &= p_idx < lengths[:, None]
-    flat = cand.reshape(-1)
-    n = flat.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=INT32_MAX)
-    return idx.astype(jnp.int32), n
+    idx, n = blocked_nonzero(cand.reshape(-1), capacity)
+    return idx, n

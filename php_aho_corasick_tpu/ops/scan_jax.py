@@ -124,6 +124,39 @@ def scan_and_compact(
     return idx, match_state, n_matches, carry
 
 
+def blocked_nonzero(flat: jax.Array, capacity: int, blk: int = 8):
+    """Two-level fixed-capacity compaction of a sparse boolean vector.
+
+    ``jnp.nonzero(size=)`` costs ~17 ns/element on v5e
+    (docs/PERF_NOTES.md); reducing ``blk``-element blocks first and
+    compacting only flagged blocks cuts the dominant pass to ``n/blk``
+    elements (sparse masks => few flagged blocks).  Returns ``(idx
+    [capacity] ascending, INT32_MAX-padded, n_true)``; exact whenever
+    ``n_true <= capacity`` (flagged blocks <= true bits, so the block
+    pass never overflows first)."""
+    n = flat.shape[0]
+    n_true = flat.sum(dtype=jnp.int32)
+    nb = -(-n // blk)
+    flat_p = jnp.concatenate(
+        [flat, jnp.zeros(nb * blk - n, jnp.bool_)]
+    ).reshape(nb, blk)
+    blk_any = flat_p.any(axis=1)
+    (bidx,) = jnp.nonzero(blk_any, size=capacity, fill_value=INT32_MAX)
+    safe_b = jnp.minimum(bidx, nb - 1).astype(jnp.int32)
+    sub = jnp.take(flat_p, safe_b, axis=0)  # [capacity, blk]
+    sub &= (bidx < INT32_MAX)[:, None]
+    (fin,) = jnp.nonzero(
+        sub.reshape(-1), size=capacity, fill_value=INT32_MAX
+    )
+    fin32 = fin.astype(jnp.int32)
+    safe_f = jnp.minimum(fin32, capacity * blk - 1)
+    elem = (
+        jnp.take(safe_b, safe_f // blk) * blk + safe_f % blk
+    ).astype(jnp.int32)
+    idx = jnp.where(fin32 < INT32_MAX, elem, INT32_MAX)
+    return idx, n_true
+
+
 def compact_final_states(states, lengths, emit_from, final_start, capacity):
     """Fixed-capacity compaction of final positions from a states matrix
     (shared by the dfa and tile engines)."""
@@ -134,10 +167,7 @@ def compact_final_states(states, lengths, emit_from, final_start, capacity):
         & (t_idx >= emit_from[:, None])
         & (t_idx < lengths[:, None])
     )
-    flat = final.reshape(-1)
-    n_matches = flat.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=capacity, fill_value=INT32_MAX)
-    idx = idx.astype(jnp.int32)
+    idx, n_matches = blocked_nonzero(final.reshape(-1), capacity)
     safe = jnp.minimum(idx, B * L - 1)
     match_state = jnp.where(
         idx < INT32_MAX, jnp.take(states.reshape(-1), safe), -1
@@ -210,9 +240,7 @@ def scan_and_compact_kgram(
         (cell_t + 1) * k > emit_from[None, :]
     )
     flagged = ((packed < 0) & overlaps).reshape(-1)
-    n_flagged = flagged.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flagged, size=capacity, fill_value=INT32_MAX)
-    idx = idx.astype(jnp.int32)
+    idx, n_flagged = blocked_nonzero(flagged, capacity)
     safe = jnp.minimum(idx, B * n_cells_row - 1)
     out_prev = jnp.where(
         idx < INT32_MAX,
