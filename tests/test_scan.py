@@ -207,3 +207,22 @@ def test_match_many_empty_inputs(backend):
     c = Matcher(["ab"], ScanConfig(backend=backend))
     assert c.match_many([]) == []
     assert c.match_many(["", ""]) == [[], []]
+
+
+def test_blocked_nonzero_matches_plain():
+    """Two-level compaction must equal jnp.nonzero for any density."""
+    import jax.numpy as jnp
+    import numpy as np
+    from php_aho_corasick_tpu.ops.scan_jax import INT32_MAX, blocked_nonzero
+
+    rng = np.random.default_rng(3)
+    for n, dens, cap in [(1000, 0.03, 64), (4096, 0.5, 4096),
+                         (777, 0.0, 16), (513, 1.0, 1024), (8, 0.4, 8)]:
+        mask = rng.random(n) < dens
+        idx, cnt = blocked_nonzero(jnp.asarray(mask), cap)
+        idx, cnt = np.asarray(idx), int(cnt)
+        want = np.nonzero(mask)[0]
+        assert cnt == want.shape[0]
+        if cnt <= cap:  # exact when within capacity
+            np.testing.assert_array_equal(idx[:cnt], want)
+            assert (idx[cnt:] == INT32_MAX).all()
