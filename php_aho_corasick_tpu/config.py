@@ -93,9 +93,11 @@ class ScanConfig:
     #: multi-stage blooms).
     cascade_mode: str = "auto"
 
-    #: log2 cap on the sampled positional bloom's word count (2**26 int32
-    #: words = 256 MiB HBM — signature-scale sets need the headroom).
-    cascade_log2_words_max: int = 26
+    #: log2 cap on the sampled positional bloom's word count (2**28 int32
+    #: words = 1 GiB HBM).  The planner only sizes up when the entry count
+    #: demands it (signature-scale sets; measured 25% faster than 256 MiB
+    #: at 1M needles) — small pattern sets stay at a few MiB.
+    cascade_log2_words_max: int = 28
 
     #: planner bound on estimated candidate starts per scanned byte for the
     #: sampled cascade (host verification stays proportional to this).

@@ -166,14 +166,15 @@ def _plan_sampled(
         n_entries = n_longs * s
         base_w = int(np.ceil(np.log2(max(n_entries, 1))))
         for n_probes in (1, 2):
-            for log2_w in {
+            for log2_w in sorted({
                 min(max(base_w + 5, 14), max_w),
                 min(max(base_w + 8, 14), max_w),
                 min(max(base_w + 10, 14), max_w),
-            }:
+            }):
                 cost, hit_rate = _sampled_cost(
                     q, s, n_entries, log2_w, n_probes, A, max_len
                 )
+                cost += log2_w * 1e-12  # prefer smaller tables on ties
                 cand = hit_rate / s
                 if cand > config.cascade_max_cand_density:
                     continue
