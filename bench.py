@@ -106,7 +106,7 @@ def main() -> None:
                 dev_inputs=(chunks, lengths, emit_from),
             )
             return sum(1 for _ in it)  # match iteration forces completion
-    else:  # fallback: k-gram scan (CPU path / ineligible pattern sets)
+    elif engine == "kgram":
         km = m.kgram_model
         km.ktable_host
 
@@ -116,6 +116,12 @@ def main() -> None:
             )
             return int(n)  # host fetch forces completion (axon: never
             # trust block_until_ready)
+    else:  # dense dfa (whatever auto actually resolved to)
+        def launch():
+            idx, sts, n, carry = m.model.scan_compact_device(
+                chunks, lengths, emit_from, None, cfg.match_capacity
+            )
+            return int(n)
 
     launch()  # warm up / compile (+ adaptive capacity learning)
     launch()
@@ -152,7 +158,10 @@ def main() -> None:
                     "build_s": round(build_s, 3),
                     "engine": (
                         f"cascade/{cm.plan.reason}" if use_cascade
-                        else f"kgram k={m.kgram_model.k}"
+                        else (
+                            f"kgram k={m.kgram_model.k}"
+                            if engine == "kgram" else engine
+                        )
                     ),
                     "states": auto.n_states,
                     "matches": total_matches // reps,

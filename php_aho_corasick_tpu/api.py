@@ -43,6 +43,7 @@ from .errors import AddStatus, AhoError, warn
 from .models.dense_dfa import DenseDfaModel
 from .ops.matches import PackedRows, expand_matches, pack_documents
 from .patterns import Pattern, parse_batch
+from .utils import next_pow2 as _next_pow2
 
 Haystack = Union[str, bytes, bytearray]
 
@@ -58,13 +59,6 @@ def _as_bytes(h: Haystack) -> bytes:
     if isinstance(h, str):
         return h.encode("utf-8")
     return bytes(h)
-
-
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
 
 
 class Matcher:
@@ -543,24 +537,20 @@ class Matcher:
         emit_from = jax.device_put(jnp.asarray(packed.emit_from), row)
         cm = self.cascade_model
         if cm.plan.mode == "sampled" and cm.device_verify_ok:
-            cap_a = max(cm._cap_hits, min(capacity, 4096))
-            cap_b = cm._cap_flagged
-            while True:
-                cells, _masks, ns, nfs = sharded_sampled_verified(
+            state = {}
+
+            def launch(cap_a, cap_b):
+                cells, ns, nfs = sharded_sampled_verified(
                     mesh, cm, chunks, lengths, cap_a, cap_b
                 )
+                state["nfs"] = np.asarray(nfs)
                 n = int(np.asarray(ns).max(initial=0))
-                nf = int(np.asarray(nfs).max(initial=0))
-                if n <= cap_a and nf <= cap_b:
-                    break
-                if n > cap_a:
-                    cap_a = _next_pow2(n)
-                if nf > cap_b:
-                    cap_b = _next_pow2(nf)
-            cm._cap_hits = max(256, _next_pow2(n + n // 4))
-            cm._cap_flagged = cap_b
+                nf = int(state["nfs"].max(initial=0))
+                return cells, n, nf
+
+            cells, _ = cm.adaptive_chain(launch)
             cells2d = np.asarray(cells)
-            nf_np = np.asarray(nfs)
+            nf_np = state["nfs"]
             parts = [
                 cells2d[s, : nf_np[s]] for s in range(cells2d.shape[0])
             ]
@@ -571,7 +561,7 @@ class Matcher:
         if cm.plan.mode == "sampled":
             while True:
                 idx, lw, sw, counts = sharded_filter_hits_sampled(
-                    mesh, cm, chunks, lengths, emit_from, capacity
+                    mesh, cm, chunks, lengths, capacity
                 )
                 counts_np = np.asarray(counts)
                 if counts_np.max(initial=0) <= capacity:

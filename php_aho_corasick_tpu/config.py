@@ -119,6 +119,11 @@ class ScanConfig:
             raise ValueError("chunk_len must be >= 1")
         if self.match_capacity < 1:
             raise ValueError("match_capacity must be >= 1")
+        if self.cascade_mode not in ("auto", "sampled", "anchored"):
+            raise ValueError(
+                f"cascade_mode must be auto/sampled/anchored, "
+                f"got {self.cascade_mode!r}"
+            )
 
 
 DEFAULT_CONFIG = ScanConfig()

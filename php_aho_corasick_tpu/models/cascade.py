@@ -30,6 +30,7 @@ from ..config import ScanConfig
 from ..core.tables import CompiledAutomaton
 from ..ops.filter_jax import GRAM_BASE, KNUTH
 from ..ops.matches import PackedRows
+from ..utils import next_pow2 as _next_pow2
 
 
 @dataclasses.dataclass
@@ -54,13 +55,6 @@ class CascadePlan:
     sampled_words: Optional[np.ndarray] = None  # [2**log2_words] int32
     #: planner's estimated candidate starts per scanned byte (diagnostics)
     est_cand_density: float = 0.0
-
-
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p *= 2
-    return p
 
 
 def _gram_code_u32(classes: Sequence[int], n_classes: int) -> int:
@@ -303,7 +297,8 @@ class CascadeModel:
         self.dense_model = dense_model
         self._dev = None
         #: adaptive capacities for the speculative A->B launch chain
-        self._cap_hits = 256
+        #: (learned from each launch's observed counts; may shrink)
+        self._cap_hits = 4096
         self._cap_flagged = 256
 
     @property
@@ -412,6 +407,31 @@ class CascadeModel:
         starts = np.unique(np.concatenate(parts))
         return starts, starts.shape[0]
 
+    def adaptive_chain(self, launch):
+        """Drive one speculative A->B launch chain with capacity learning.
+
+        Both kernels are dispatched back-to-back with NO host fetch in
+        between and the occupancy scalars come back in one fetch —
+        per-dispatch round-trips cost ~25 ms on a tunneled TPU grant
+        (docs/PERF_NOTES.md), which otherwise dwarfs the kernels.  Phase-A
+        capacity adapts (up AND down) to the last observed hit count;
+        overflowing either phase retries with that capacity doubled.
+        ``launch(cap_a, cap_b)`` must return ``(cells, n_hits,
+        n_flagged)`` with host ints for the counts."""
+        cap_a = max(self._cap_hits, 256)
+        cap_b = self._cap_flagged
+        while True:
+            cells, n, nf = launch(cap_a, cap_b)
+            if n <= cap_a and nf <= cap_b:
+                break
+            if n > cap_a:
+                cap_a = _next_pow2(n)
+            if nf > cap_b:
+                cap_b = _next_pow2(nf)
+        self._cap_hits = max(256, _next_pow2(n + n // 4))
+        self._cap_flagged = cap_b
+        return cells, nf
+
     def run(self, packed: PackedRows, capacity: int, dev_inputs=None):
         """Full cascade on one device: filter (+ device window verify when
         available) and return the reference-order match iterator.
@@ -430,21 +450,14 @@ class CascadeModel:
                 # one host->device upload, shared by every retry + phase B
                 chunks_d = jnp.asarray(packed.chunks)
                 lengths_d = jnp.asarray(packed.lengths)
-            # Speculative A->B chaining: both kernels are dispatched
-            # back-to-back with NO host fetch in between, and the two
-            # occupancy scalars come back in ONE fetch — per-dispatch
-            # round-trips cost ~25 ms on a tunneled TPU grant
-            # (docs/PERF_NOTES.md), which otherwise dwarfs the kernels.
-            # Phase A capacity adapts to the last observed hit count.
-            cap_a = max(self._cap_hits, min(capacity, 4096))
-            cap_b = self._cap_flagged
             dd = self.dense_model.device_arrays
             dev = self.device_arrays
-            while True:
+
+            def launch(cap_a, cap_b):
                 idx, _lw, _sw, n_d = self.scan_hits_sampled(
                     chunks_d, lengths_d, cap_a
                 )
-                cells, _masks, nf_d = verify_windows(
+                cells, nf_d = verify_windows(
                     dd["table_flat"],
                     dev["byte_class"],
                     dev["used_bytes"],
@@ -459,14 +472,9 @@ class CascadeModel:
                     n_hits=cap_a,
                 )
                 n, nf = map(int, np.asarray(jnp.stack([n_d, nf_d])))
-                if n <= cap_a and nf <= cap_b:
-                    break
-                if n > cap_a:
-                    cap_a = _next_pow2(n)
-                if nf > cap_b:
-                    cap_b = _next_pow2(nf)
-            self._cap_hits = max(256, _next_pow2(n + n // 4))
-            self._cap_flagged = cap_b
+                return cells, n, nf
+
+            cells, nf = self.adaptive_chain(launch)
             if nf == 0:
                 return iter(())  # common case: nothing crosses the relay
             return self.emit_windows(packed, np.asarray(cells), nf)

@@ -1,31 +1,30 @@
-"""Gram-filter cascade device kernel (XLA path).
+"""Gram-filter cascade device kernels (XLA path).
 
-The gather-free scan strategy (docs/PERF_NOTES.md engine 3): instead of
-walking the DFA over every byte (gather-bound at ~100M bytes/s on v5e),
-every position is tested as a potential match *start* with pure VPU/MXU
-work:
+Two filter designs share this module (planning: models/cascade.py; the
+reference's hot loop they replace: ``ac_trie_search``,
+``src/multifast/ahocorasick.c:199-234``):
 
-1. byte -> class (compare-select, no gather);
-2. rolling q-gram class codes at every position (shift-multiply-add);
-3. per stage ``s`` at offset ``o_s``: a hashed-bloom membership test of the
-   code at ``p + o_s`` against the set of q-grams appearing at offset
-   ``o_s`` in any long pattern;
-4. short patterns (< q bytes) are matched exactly by compare-select and
-   simply OR their start positions into the candidate mask;
-5. surviving candidate starts are compacted (fixed capacity + exact
-   retry) and verified on the host by a vectorized root walk
-   (models/cascade.py) — work proportional to candidate density.
+**Sampled** (``filter_hits_sampled`` + ``verify_windows`` — the TPU
+headline engine).  Any occurrence of a pattern of length >= ``min_long``
+covers exactly one point of a ``stride = min_long - q + 1`` lattice, so a
+positional-alignment bloom (bit ``j`` set <=> some long pattern contains
+this q-gram at offset ``j``) is probed only at grid points: 1/stride
+gathers per byte against the v5e's ~72 M lookups/s gather wall.  Fetched
+words AND together across 1-2 salted probes; nonzero words mark grid
+cells whose candidate window gets an on-device dense-DFA walk
+(``verify_windows``), so the match-free common case ships two scalars to
+the host.  Short patterns (< q) are matched exactly by compare-select and
+packed into a second per-cell bitmask.
 
-Soundness: a true match starting at ``p`` always passes every stage (its
-grams are in the blooms by construction; shorts are exact), so candidates
-are a superset of true starts; verification removes false positives.
-Bloom lookups themselves need a (tiny-table) gather; implementations:
+**Anchored** (``filter_candidates`` — CPU/GPU and short-min-length sets).
+Every position is tested as a potential match start against 1-3 staged
+blooms of q-gram class codes at fixed in-pattern offsets; surviving starts
+are compacted and verified by a vectorized host root-walk.
 
-* ``take``: one ``jnp.take`` per stage — simple, portable; still ~25x
-  cheaper than the DFA when 2 stages replace per-byte gathers only at
-  candidate positions... (it is per-position, so on TPU prefer:)
-* ``matmul``: one-hot f32 matmul against the bloom words (MXU);
-* ``pallas``: lane-local ``take_along_axis`` bank gather (ops/filter_pallas).
+Soundness (both): a true occurrence always passes its filter (its grams
+were inserted by construction; shorts are exact), so candidates form a
+superset of true starts and exact verification removes the rest.
+Capacity overflows retry doubled — output is never truncated.
 """
 
 from __future__ import annotations
@@ -273,7 +272,7 @@ def verify_windows(
     win_len: int,  # (stride - 1) + max_pattern_len, <= 32
     capacity: int,
     n_hits: int,  # static pow2 slot count; slices grid_idx in-jit
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array]:
     """Device verification of sampled-filter hits: walk the dense DFA over
     each hit's candidate window so only *matching* windows ever leave the
     device (the match-free common case fetches two scalars — on rigs where
@@ -292,10 +291,10 @@ def verify_windows(
     against the no-vector-gather v5e) and re-assembled on the VPU.
 
     Returns ``(win_cell [cap] — grid ids of windows containing >= 1 final
-    position, ascending; final_steps [cap] int32 bitmask of window steps
-    that hit a final state; n_flagged)``.  The host re-walks only flagged
-    windows (work proportional to matches) and applies the exactly-once
-    ownership rules (models/cascade.py emit_windows)."""
+    position, ascending, INT32_MAX-padded; n_flagged)``.  The host
+    re-walks only flagged windows (work proportional to matches) and
+    applies the exactly-once ownership rules (models/cascade.py
+    emit_windows)."""
     B, L = chunks.shape
     M = -(-L // stride)
     H = min(n_hits, grid_idx.shape[0])
@@ -342,22 +341,19 @@ def verify_windows(
     # unrolled walk (W <= 32 static): lax.scan's per-step loop overhead
     # measurably dominates these small [H] gathers on the remote backend
     state = jnp.zeros((H,), jnp.int32)
-    mask = jnp.zeros((H,), jnp.int32)
+    flagged = jnp.zeros((H,), jnp.bool_)
     for j in range(W):
         state = jnp.take(table_flat, state * n_classes + cls[:, j]).astype(
             jnp.int32
         )
-        fin = (state >= final_start) & valid[:, j]
-        mask = mask | (fin.astype(jnp.int32) << j)
-    flagged = mask != 0
+        flagged |= (state >= final_start) & valid[:, j]
     n_flagged = flagged.sum(dtype=jnp.int32)
     (slot,) = jnp.nonzero(flagged, size=capacity, fill_value=INT32_MAX)
     safe = jnp.minimum(slot, H - 1)
     win_cell = jnp.where(
         slot < INT32_MAX, jnp.take(grid_idx, safe), INT32_MAX
     )
-    out_mask = jnp.where(slot < INT32_MAX, jnp.take(mask, safe), 0)
-    return win_cell, out_mask, n_flagged
+    return win_cell, n_flagged
 
 
 @functools.partial(

@@ -295,7 +295,7 @@ def _sharded_call_sampled_verified(
             q=q, stride=stride, log2_words=log2_words,
             salts=salts, shorts=shorts, capacity=cap_hits,
         )
-        cells, masks, nf = verify_windows(
+        cells, nf = verify_windows(
             tf, bc, ub, ch, ln, idx, fs,
             n_classes=n_classes, stride=stride, win_len=win_len,
             capacity=cap_flagged, n_hits=cap_hits,
@@ -305,13 +305,13 @@ def _sharded_call_sampled_verified(
         cells = jnp.where(
             cells < INT32_MAX, cells + shard * local_cells, cells
         )
-        return cells[None], masks[None], n[None], nf[None]
+        return cells[None], n[None], nf[None]
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, data, data, rep, rep),
-        out_specs=(data, data, data, data),
+        out_specs=(data, data, data),
     )
     return fn(
         words, table_flat, byte_class, used_bytes, chunks, lengths,
@@ -328,8 +328,8 @@ def sharded_sampled_verified(
     cap_flagged: int,
 ):
     """Mesh wrapper for the chained sampled-filter + window-verify pass.
-    Returns ``(cells [n_shards, capB] global grid ids, masks, n_hits
-    [n_shards], n_flagged [n_shards])``."""
+    Returns ``(cells [n_shards, capB] global grid ids, n_hits [n_shards],
+    n_flagged [n_shards])``."""
     plan = cascade_model.plan
     dev = cascade_model.device_arrays
     dd = cascade_model.dense_model.device_arrays
@@ -360,7 +360,6 @@ def sharded_filter_hits_sampled(
     cascade_model,
     chunks,
     lengths,
-    emit_from,
     capacity: int,
 ):
     """Sharded sampled-mode grid-hit filter.  Returns ``(grid_idx
