@@ -35,3 +35,10 @@ class ScanStats:
             "scan engine=%s backend=%s bytes=%d matches=%d",
             engine, backend, n_bytes, n_matches,
         )
+
+    def summary(self) -> str:
+        return (
+            f"{self.scans} scans, {self.bytes_scanned / 2**20:.1f} MiB, "
+            f"{self.matches_emitted} matches, last={self.last_engine}/"
+            f"{self.last_backend}"
+        )
