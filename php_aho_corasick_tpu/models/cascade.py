@@ -432,6 +432,37 @@ class CascadeModel:
         self._cap_flagged = cap_b
         return cells, nf
 
+    def launch_device(self, chunks_d, lengths_d, cap_a, cap_b):
+        """One speculative filter→verify chain entirely on device.
+
+        Returns ``(cells, n_d, nf_d)`` as *device* values with no host
+        fetch, so callers can keep several chains in flight and pay the
+        ~25 ms tunnel round trip once per batch instead of once per launch
+        (docs/PERF_NOTES.md).  ``n_d``/``nf_d`` must be checked against
+        ``cap_a``/``cap_b`` after fetching — overflow means retry bigger."""
+        from ..ops.filter_jax import verify_windows
+
+        dd = self.dense_model.device_arrays
+        dev = self.device_arrays
+        idx, _lw, _sw, n_d = self.scan_hits_sampled(
+            chunks_d, lengths_d, cap_a
+        )
+        cells, nf_d = verify_windows(
+            dd["table_flat"],
+            dev["byte_class"],
+            dev["used_bytes"],
+            chunks_d,
+            lengths_d,
+            idx,
+            dd["final_start"],
+            n_classes=self.auto.n_classes,
+            stride=self.plan.stride,
+            win_len=self.win_len,
+            capacity=cap_b,
+            n_hits=cap_a,
+        )
+        return cells, n_d, nf_d
+
     def run(self, packed: PackedRows, capacity: int, dev_inputs=None):
         """Full cascade on one device: filter (+ device window verify when
         available) and return the reference-order match iterator.
@@ -442,34 +473,16 @@ class CascadeModel:
         if self.plan.mode == "sampled" and self.device_verify_ok:
             import jax.numpy as jnp
 
-            from ..ops.filter_jax import verify_windows
-
             if dev_inputs is not None:
                 chunks_d, lengths_d, _ = dev_inputs
             else:
                 # one host->device upload, shared by every retry + phase B
                 chunks_d = jnp.asarray(packed.chunks)
                 lengths_d = jnp.asarray(packed.lengths)
-            dd = self.dense_model.device_arrays
-            dev = self.device_arrays
 
             def launch(cap_a, cap_b):
-                idx, _lw, _sw, n_d = self.scan_hits_sampled(
-                    chunks_d, lengths_d, cap_a
-                )
-                cells, nf_d = verify_windows(
-                    dd["table_flat"],
-                    dev["byte_class"],
-                    dev["used_bytes"],
-                    chunks_d,
-                    lengths_d,
-                    idx,
-                    dd["final_start"],
-                    n_classes=self.auto.n_classes,
-                    stride=self.plan.stride,
-                    win_len=self.win_len,
-                    capacity=cap_b,
-                    n_hits=cap_a,
+                cells, n_d, nf_d = self.launch_device(
+                    chunks_d, lengths_d, cap_a, cap_b
                 )
                 n, nf = map(int, np.asarray(jnp.stack([n_d, nf_d])))
                 return cells, n, nf

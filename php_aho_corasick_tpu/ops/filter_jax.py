@@ -237,24 +237,6 @@ def filter_hits_sampled(
     return idx, lw, swo, n_hits
 
 
-_PACK_LE: dict = {}
-
-
-def _bitcast_packs_le() -> bool:
-    """One probe per backend: does ``bitcast_convert_type(uint8[..., 4] ->
-    int32)`` put element 0 in the low byte?  (XLA defines the packing via
-    the platform layout; verify instead of assuming.)"""
-    import jax as _jax
-
-    key = _jax.default_backend()
-    if key not in _PACK_LE:
-        with _jax.ensure_compile_time_eval():  # may run inside a trace
-            probe = jnp.asarray([[1, 2, 3, 4]], jnp.uint8)
-            got = int(jax.lax.bitcast_convert_type(probe, jnp.int32)[0])
-        _PACK_LE[key] = got == 0x04030201
-    return _PACK_LE[key]
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("n_classes", "stride", "win_len", "capacity", "n_hits"),
@@ -287,9 +269,6 @@ def verify_windows(
     outside ``[0, length)`` contribute class 0 which pins the DFA at the
     root (unused-byte transitions all lead there).
 
-    Window bytes are fetched as aligned int32 words (4 bytes per gather
-    against the no-vector-gather v5e) and re-assembled on the VPU.
-
     Returns ``(win_cell [cap] — grid ids of windows containing >= 1 final
     position, ascending, INT32_MAX-padded; n_flagged)``.  The host
     re-walks only flagged windows (work proportional to matches) and
@@ -307,31 +286,15 @@ def verify_windows(
 
     j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
     base = b * L + w0
-    if _bitcast_packs_le():
-        # fetch aligned int32 words covering [w0, w0 + W) — 4 bytes per
-        # gather op; the uint8->int32 repack is a layout bitcast, not a
-        # compute pass (the shift-assembled pack measured ~60 ms/33 MiB
-        # on v5e, docs/PERF_NOTES.md)
-        word0 = base >> 2
-        off = base & 3
-        nwords = (W + 3) // 4 + 1
-        words_flat = jax.lax.bitcast_convert_type(
-            chunks.reshape(B * L // 4, 4), jnp.int32
-        )
-        widx = jnp.clip(
-            word0[:, None] + jnp.arange(nwords, dtype=jnp.int32)[None, :],
-            0, B * L // 4 - 1,
-        )
-        got = jnp.take(words_flat, widx)  # [H, nwords] — the word gather
-        # assemble byte j: word lane (off+j)>>2, in-word byte (off+j)&3
-        lane = (off[:, None] + j_idx) >> 2  # [H, W] in [0, nwords)
-        sel = jnp.zeros((H, W), jnp.int32)
-        for wsel in range(nwords):
-            sel = jnp.where(lane == wsel, got[:, wsel][:, None], sel)
-        byte = (sel >> (((off[:, None] + j_idx) & 3) * 8)) & 0xFF
-    else:  # big-endian packing: gather window bytes directly (W per hit)
-        bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
-        byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
+    # Gather window bytes directly: H*W gathers, proportional to the HIT
+    # count, not the corpus — at realistic hit caps this is ~100k lookups
+    # (~1 ms at the measured gather rate).  An aligned-int32-word variant
+    # (W/4+1 gathers/hit via bitcast_convert_type) was tried and reverted:
+    # the u8[B*L/4, 4] reshape it needs gets a (8,128)-tiled layout whose
+    # minor dim pads 4 -> 128, materializing a 32x-padded corpus-sized
+    # scratch (17.7 GB at a 128 MiB launch — compile-time OOM).
+    bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
+    byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
 
     pos = w0[:, None] + j_idx
     valid = (pos >= 0) & (pos < lengths[b][:, None]) & active[:, None]

@@ -333,6 +333,57 @@ def test_sampled_cascade_capacity_retry():
     assert got == brute_force([pat], text)
 
 
+def test_sampled_launch_device_pipelined():
+    """bench.py's steady-state path: several filter->verify chains in
+    flight with no intermediate fetch, occupancy scalars pulled once at
+    the end; every chain must agree and emission must stay exact."""
+    import jax.numpy as jnp
+
+    from php_aho_corasick_tpu.ops.matches import pack_documents
+
+    rng = random.Random(7)
+    alphabet = b"abcdef"
+    patterns = list(dict.fromkeys(
+        bytes(rng.choice(alphabet) for _ in range(16)) for _ in range(32)
+    ))
+    text = bytearray(rng.choice(alphabet) for _ in range(8000))
+    for _ in range(10):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     cascade_mode="sampled", chunk_len=512)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)],
+                cfg)
+    m.finalize()
+    cm = m.cascade_model
+    assert cm is not None and cm.device_verify_ok
+
+    packed = pack_documents([text], cfg.chunk_len, m.automaton.max_len - 1)
+    chunks = jnp.asarray(packed.chunks)
+    lengths = jnp.asarray(packed.lengths)
+
+    cap_a, cap_b = 4096, 1024
+    outs = [cm.launch_device(chunks, lengths, cap_a, cap_b)
+            for _ in range(3)]
+    flat = np.asarray(jnp.stack(
+        [s for _c, n, nf in outs for s in (n, nf)]
+    ))  # single sync fetch for all three chains
+    ns, nfs = flat[0::2], flat[1::2]
+    assert (ns == ns[0]).all() and (nfs == nfs[0]).all()
+    assert 0 < ns[0] <= cap_a and 0 < nfs[0] <= cap_b
+
+    got = [
+        (end, int(pids[0]))
+        for _doc, end, pids in cm.emit_windows(
+            packed, np.asarray(outs[-1][0]), int(nfs[0])
+        )
+    ]
+    assert got == brute_force(patterns, text)
+
+
 def test_sampled_cascade_overlapping_and_suffix_order():
     pats = [b"abcdabcdabcd", b"cdabcdabcd", b"dabcdabcd"]
     text = b"..abcdabcdabcdabcd.."
