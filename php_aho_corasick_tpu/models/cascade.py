@@ -126,8 +126,15 @@ def _sampled_cost(
     """Per-byte cost estimate + per-lookup hit rate of one sampled config
     (constants from the measured primitives in docs/PERF_NOTES.md)."""
     true_density = min(1.0, n_entries / float(A) ** q)
-    bits_per_word = n_probes * n_entries / float(1 << log2_w)
-    stray = 32.0 * (bits_per_word / 32.0) ** n_probes
+    # A grid cell strays at alignment j when, in EVERY one of the n_probes
+    # salted probe words, bit j was set by some pattern with a gram at
+    # offset j hashing to the same slot.  Patterns per offset = n_entries/s,
+    # so per-bit fill = (n_entries/s) / W and the cell strays at any of its
+    # s alignments: ~ s * fill^n.  (Measured 2026-08-18 at signature scale:
+    # an optimistic 1-probe estimate here flooded device verify, 404 ->
+    # 634 ms per 64 MiB — the second probe pays for itself.)
+    fill = (n_entries / float(s)) / float(1 << log2_w)
+    stray = s * fill ** n_probes
     hit_rate = min(1.0, 1.1 * true_density + stray)
     win_len = s - 1 + max_len
     if win_len <= 32:  # device window verify: ~(win + words) gathers/hit
