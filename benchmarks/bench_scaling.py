@@ -88,11 +88,11 @@ def main():
         )
 
         def launch():
-            idx, sts, counts, carry = sharded_scan_compact(
+            idx, sts, counts, gstats, carry = sharded_scan_compact(
                 mesh, dev, ch, init, ln, ef,
                 n_classes=auto.n_classes, capacity=4096,
             )
-            return int(np.asarray(counts).sum())
+            return int(np.asarray(gstats)[0])  # psum global match count
 
         launch()
         t0 = time.time()

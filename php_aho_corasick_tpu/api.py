@@ -240,6 +240,7 @@ class Matcher:
                 group_bytes += len(d)
             if group:
                 groups.append(group)
+            engine = "-"
             for g in groups:
                 sub_results: List[List[dict]] = [[] for _ in g]
                 engine = self._scan_device([docs[i] for i in g], sub_results)
@@ -343,11 +344,18 @@ class Matcher:
 
     def _scan_host(self, docs: List[bytes], results: List[List[dict]]) -> None:
         auto = self._auto
+        from . import native
+
+        use_native = native.available()
         for d, doc in enumerate(docs):
             if not doc:
                 continue
-            data = np.frombuffer(doc, dtype=np.uint8)
-            positions, states, _ = self._model.scan_host(data)
+            if use_native:
+                # C++ scalar scan (~100x the python loop; native/oracle.cc)
+                positions, states, _ = native.oracle_scan(auto, doc)
+            else:
+                data = np.frombuffer(doc, dtype=np.uint8)
+                positions, states, _ = self._model.scan_host(data)
             out = results[d]
             for t, s in zip(positions, states):
                 lo, hi = auto.emit_start[s], auto.emit_start[s + 1]
@@ -436,7 +444,7 @@ class Matcher:
             return "kgram"
         return "dfa"
 
-    def _scan_device(self, docs: List[bytes], results: List[List[dict]]) -> None:
+    def _scan_device(self, docs: List[bytes], results: List[List[dict]]) -> str:
         import math
 
         import jax
@@ -531,6 +539,7 @@ class Matcher:
         )
 
         mesh = data_mesh()
+        collect = jax.process_count() > 1
         row = NamedSharding(mesh, P("data"))
         chunks = jax.device_put(jnp.asarray(packed.chunks), row)
         lengths = jax.device_put(jnp.asarray(packed.lengths), row)
@@ -540,13 +549,14 @@ class Matcher:
             state = {}
 
             def launch(cap_a, cap_b):
-                cells, ns, nfs = sharded_sampled_verified(
-                    mesh, cm, chunks, lengths, cap_a, cap_b
+                cells, nfs, gh, gf = sharded_sampled_verified(
+                    mesh, cm, chunks, lengths, cap_a, cap_b,
+                    collect=collect,
                 )
                 state["nfs"] = np.asarray(nfs)
-                n = int(np.asarray(ns).max(initial=0))
-                nf = int(state["nfs"].max(initial=0))
-                return cells, n, nf
+                # pmax scalars decide the retry (replicated, one fetch)
+                stats = np.asarray(jnp.stack([gh, gf]))
+                return cells, int(stats[0, 1]), int(stats[1, 1])
 
             cells, _ = cm.adaptive_chain(launch)
             cells2d = np.asarray(cells)
@@ -560,13 +570,14 @@ class Matcher:
             return cm.emit_windows(packed, merged, merged.shape[0])
         if cm.plan.mode == "sampled":
             while True:
-                idx, lw, sw, counts = sharded_filter_hits_sampled(
-                    mesh, cm, chunks, lengths, capacity
+                idx, lw, sw, counts, gstats = sharded_filter_hits_sampled(
+                    mesh, cm, chunks, lengths, capacity, collect=collect
                 )
-                counts_np = np.asarray(counts)
-                if counts_np.max(initial=0) <= capacity:
+                n_max = int(np.asarray(gstats)[1])  # pmax occupancy
+                if n_max <= capacity:
                     break
-                capacity = _next_pow2(int(counts_np.max()))
+                capacity = _next_pow2(n_max)
+            counts_np = np.asarray(counts)
             idx2d, lw2d, sw2d = map(np.asarray, (idx, lw, sw))
             parts = []
             total = 0
@@ -582,13 +593,15 @@ class Matcher:
             )
             return cm.verify(packed, merged, total)
         while True:
-            idx, counts = sharded_filter_candidates(
-                mesh, cm, chunks, lengths, emit_from, capacity
+            idx, counts, gstats = sharded_filter_candidates(
+                mesh, cm, chunks, lengths, emit_from, capacity,
+                collect=collect,
             )
-            counts_np = np.asarray(counts)
-            if counts_np.max(initial=0) <= capacity:
+            n_max = int(np.asarray(gstats)[1])
+            if n_max <= capacity:
                 break
-            capacity = _next_pow2(int(counts_np.max()))
+            capacity = _next_pow2(n_max)
+        counts_np = np.asarray(counts)
         idx2d = np.asarray(idx)
         parts = [idx2d[s, : counts_np[s]] for s in range(idx2d.shape[0])]
         merged = (
@@ -631,20 +644,25 @@ class Matcher:
             }
         dev = {k: jax.device_put(jnp.asarray(v), rep) for k, v in host.items()}
         dev["final_start"] = jax.device_put(jnp.int32(auto.final_start), rep)
+        collect = jax.process_count() > 1
         while True:
             if engine == "kgram":
-                idx, aux, counts, _ = sharded_scan_compact_kgram(
+                idx, aux, counts, gstats, _ = sharded_scan_compact_kgram(
                     mesh, dev, chunks, init, lengths, emit_from,
                     n_classes=auto.n_classes, k=self.kgram_model.k,
-                    capacity=capacity,
+                    capacity=capacity, collect=collect,
                 )
             else:
-                idx, aux, counts, _ = sharded_scan_compact(
+                idx, aux, counts, gstats, _ = sharded_scan_compact(
                     mesh, dev, chunks, init, lengths, emit_from,
                     n_classes=auto.n_classes, capacity=capacity,
+                    collect=collect,
                 )
-            counts_np = np.asarray(counts)
-            if counts_np.max(initial=0) <= capacity:
+            # retry decision = the replicated pmax scalar (one fetch; the
+            # full buffers only cross to the host after it fits)
+            n_max = int(np.asarray(gstats)[1])
+            if n_max <= capacity:
                 break
-            capacity = _next_pow2(int(counts_np.max()))
+            capacity = _next_pow2(n_max)
+        counts_np = np.asarray(counts)
         return merge_shard_buffers(np.asarray(idx), np.asarray(aux), counts_np)

@@ -56,9 +56,14 @@ class ScanConfig:
     #: above), "device" (always JAX), or "host" (always numpy scalar path).
     backend: str = "auto"
 
-    #: Device scan engine: "auto" picks the k-gram model for large scans
-    #: when the composed table fits the budget; "dfa" forces the 1-gram
-    #: dense model; "kgram" forces the k-gram model.
+    #: Device scan engine.  "auto" picks by measured cost (on TPU: the
+    #: sampled cascade when its stride beats the k-gram advance, else
+    #: k-gram, else dense; off-TPU any eligible cascade wins — see
+    #: Matcher._pick_engine and docs/PERF_NOTES.md).  Explicit values:
+    #: "dfa" (1-gram dense table), "kgram" (k-byte super-transitions),
+    #: "cascade" (bloom filter + exact verify; anchored mode is reachable
+    #: only by forcing cascade_mode="anchored" — on TPU the planner always
+    #: prefers sampled), "tile" (VMEM-resident table; Pallas-gated).
     engine: str = "auto"
 
     #: Byte budget for the k-gram super-transition table (S * C^k * 4).

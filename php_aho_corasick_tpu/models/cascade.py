@@ -137,8 +137,10 @@ def _sampled_cost(
     stray = s * fill ** n_probes
     hit_rate = min(1.0, 1.1 * true_density + stray)
     win_len = s - 1 + max_len
-    if win_len <= 32:  # device window verify: ~(win + words) gathers/hit
-        verify = _GATHER_S * (win_len + win_len // 4 + 2) * hit_rate / s
+    if win_len <= 32:  # device window verify: per hit, one byte gather and
+        # one table gather per window position (direct per-byte fetches —
+        # the aligned-word path was removed; see verify_windows)
+        verify = _GATHER_S * (2 * win_len + 2) * hit_rate / s
     else:  # host expand + verify through the relay
         verify = 300e-9 * hit_rate / s
     cost = _GATHER_S * n_probes / s + _COMPACT_S / s + verify
@@ -307,6 +309,13 @@ class CascadeModel:
         #: (learned from each launch's observed counts; may shrink)
         self._cap_hits = 4096
         self._cap_flagged = 256
+
+    @property
+    def learned_caps(self) -> Tuple[int, int]:
+        """Adaptive ``(cap_hits, cap_flagged)`` capacities learned from past
+        launches — the starting point for a pipelined launch batch (used by
+        bench.py and steady-state serving loops)."""
+        return max(self._cap_hits, 256), max(self._cap_flagged, 256)
 
     @property
     def win_len(self) -> int:

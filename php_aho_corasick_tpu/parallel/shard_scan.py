@@ -3,15 +3,23 @@
 TPU-native replacement for the reference's "one automaton, many haystacks"
 amortization (``README.md:7-9``): chunk rows are sharded over chips, the
 transition table + byte-class map are replicated (HBM-resident per chip),
-and each chip runs the same compacted scan kernel on its rows.  Collectives:
+and each chip runs the same compacted scan kernel on its rows.  Collectives
+(inside every shard_map body):
 
 * ``psum`` — global match count (the scalar every caller needs first);
-* ``pmax`` — worst per-shard buffer occupancy, drives the exact
-  capacity-retry loop (a shard overflowing its fixed match buffer forces a
-  doubled retry — never silent truncation);
-* match buffers themselves stay sharded (out_spec ``P("data")``) and are
-  fetched shard-major, which preserves global scan order because rows are
-  packed document-major and shards are contiguous row blocks.
+* ``pmax`` — worst per-shard buffer occupancy: the capacity-retry decision
+  (a shard overflowing its fixed match buffer forces a doubled retry —
+  never silent truncation) costs ONE replicated scalar fetch instead of a
+  per-shard counts array;
+* ``all_gather`` — per-shard true counts, replicated so every *host* of a
+  multi-host mesh can slice the buffers; with ``collect=True`` the match
+  buffers themselves are also all_gathered (replicated outputs are
+  fully-addressable on every process — required for multi-host, wasted
+  HBM single-process, hence the switch).
+
+Without ``collect`` the match buffers stay sharded (out_spec ``P("data")``)
+and are fetched shard-major, which preserves global scan order because rows
+are packed document-major and shards are contiguous row blocks.
 
 Halo handling is identical to the single-chip path: rows already carry
 their left overlap (ops/matches.py pack_documents), so no neighbor
@@ -37,9 +45,46 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
+def _shard_onehot():
+    """Boolean [n_shards] mask selecting this shard's slot (axis size is
+    static inside shard_map: psum of a python literal)."""
+    size = jax.lax.psum(1, DATA_AXIS)
+    shard = jax.lax.axis_index(DATA_AXIS)
+    return jax.lax.broadcasted_iota(jnp.int32, (int(size),), 0) == shard
+
+
+def _globalize_counts(n):
+    """Shared collective tail of every scan body: returns
+    ``(counts [n_shards] replicated, gstats [2] replicated)`` where
+    ``gstats = [psum(n) global matches, pmax(n) worst occupancy]``.
+
+    The per-shard counts vector is built as a psum of slot-masked
+    contributions (an all_gather whose replication the shard_map vma
+    checker can statically verify)."""
+    counts = jax.lax.psum(
+        jnp.where(_shard_onehot(), n, 0), DATA_AXIS
+    )
+    n_tot = jax.lax.psum(n, DATA_AXIS)
+    n_max = jax.lax.pmax(n, DATA_AXIS)
+    return counts, jnp.stack([n_tot, n_max])
+
+
+def _maybe_collect(buf, collect: bool):
+    """Either keep a per-shard buffer sharded ([1, cap] local -> [n_shards,
+    cap] global) or gather it replicated so every *process* of a multi-host
+    mesh holds (and can address) the full set.  The gather is a psum of
+    slot-masked contributions — statically replicated for the vma checker."""
+    if collect:
+        oh = _shard_onehot().reshape((-1,) + (1,) * buf.ndim)
+        return jax.lax.psum(
+            jnp.where(oh, buf[None], jnp.zeros((), buf.dtype)), DATA_AXIS
+        )
+    return buf[None]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "n_classes", "capacity"),
+    static_argnames=("mesh", "n_classes", "capacity", "collect"),
 )
 def _sharded_call(
     table_flat,
@@ -54,8 +99,10 @@ def _sharded_call(
     mesh: Mesh,
     n_classes: int,
     capacity: int,
+    collect: bool = False,
 ):
     data, rep = P(DATA_AXIS), P()
+    buf_spec = rep if collect else data
 
     def local_fn(table, bc, ub, ch, ini, ln, ef, fs):
         idx, sts, n, carry = scan_and_compact(
@@ -65,13 +112,20 @@ def _sharded_call(
         shard = jax.lax.axis_index(DATA_AXIS)
         local_cells = ch.shape[0] * ch.shape[1]
         idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
-        return idx[None], sts[None], n[None], carry
+        counts, gstats = _globalize_counts(n)
+        return (
+            _maybe_collect(idx, collect),
+            _maybe_collect(sts, collect),
+            counts,
+            gstats,
+            carry,
+        )
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(rep, rep, rep, data, data, data, data, rep),
-        out_specs=(data, data, data, data),
+        out_specs=(buf_spec, buf_spec, rep, rep, data),
     )
     return fn(
         table_flat, byte_class, used_bytes, chunks, init_state, lengths,
@@ -88,12 +142,16 @@ def sharded_scan_compact(
     emit_from,
     n_classes: int,
     capacity: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    collect: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run the compacted 1-gram scan over the mesh.
 
     Returns ``(idx [n_shards, capacity], states [n_shards, capacity],
-    counts [n_shards], carry [B])`` — ``idx`` entries are *global*
-    flattened ``row * L + t`` cell indices, ascending within each shard.
+    counts [n_shards] replicated, gstats [2] replicated = [psum total,
+    pmax occupancy], carry [B])`` — ``idx`` entries are *global* flattened
+    ``row * L + t`` cell indices, ascending within each shard.  With
+    ``collect=True`` the idx/states buffers are all_gathered (replicated,
+    addressable on every host of a multi-host mesh).
     """
     return _sharded_call(
         dev_arrays["table_flat"],
@@ -107,12 +165,13 @@ def sharded_scan_compact(
         mesh=mesh,
         n_classes=n_classes,
         capacity=capacity,
+        collect=collect,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "n_classes", "k", "capacity"),
+    static_argnames=("mesh", "n_classes", "k", "capacity", "collect"),
 )
 def _sharded_call_kgram(
     ktable,
@@ -128,10 +187,12 @@ def _sharded_call_kgram(
     n_classes: int,
     k: int,
     capacity: int,
+    collect: bool = False,
 ):
     from ..ops.scan_jax import scan_and_compact_kgram
 
     data, rep = P(DATA_AXIS), P()
+    buf_spec = rep if collect else data
 
     def local_fn(kt, bc, ub, ch, ini, ln, ef, fs):
         idx, prevs, n, carry = scan_and_compact_kgram(
@@ -141,13 +202,20 @@ def _sharded_call_kgram(
         shard = jax.lax.axis_index(DATA_AXIS)
         local_cells = ch.shape[0] * (ch.shape[1] // k)
         idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
-        return idx[None], prevs[None], n[None], carry
+        counts, gstats = _globalize_counts(n)
+        return (
+            _maybe_collect(idx, collect),
+            _maybe_collect(prevs, collect),
+            counts,
+            gstats,
+            carry,
+        )
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(rep, rep, rep, data, data, data, data, rep),
-        out_specs=(data, data, data, data),
+        out_specs=(buf_spec, buf_spec, rep, rep, data),
     )
     return fn(
         ktable, byte_class, used_bytes, chunks, init_state, lengths,
@@ -159,7 +227,7 @@ def _sharded_call_kgram(
     jax.jit,
     static_argnames=(
         "mesh", "n_classes", "q", "offsets", "log2_bits", "salts", "shorts",
-        "bloom_impl", "capacity",
+        "bloom_impl", "capacity", "collect",
     ),
 )
 def _sharded_call_cascade(
@@ -180,6 +248,7 @@ def _sharded_call_cascade(
     shorts,
     bloom_impl: str,
     capacity: int,
+    collect: bool = False,
 ):
     from ..ops.filter_jax import filter_candidates
 
@@ -195,13 +264,15 @@ def _sharded_call_cascade(
         shard = jax.lax.axis_index(DATA_AXIS)
         local_cells = ch.shape[0] * ch.shape[1]
         idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
-        return idx[None], n[None]
+        counts, gstats = _globalize_counts(n)
+        return _maybe_collect(idx, collect), counts, gstats
 
+    buf_spec = rep if collect else data
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(rep, rep, rep, data, data, data, rep),
-        out_specs=(data, data),
+        out_specs=(buf_spec, rep, rep),
     )
     return fn(
         bloom_words, byte_class, used_bytes, chunks, lengths, emit_from,
@@ -213,6 +284,7 @@ def _sharded_call_cascade(
     jax.jit,
     static_argnames=(
         "mesh", "q", "stride", "log2_words", "salts", "shorts", "capacity",
+        "collect",
     ),
 )
 def _sharded_call_cascade_sampled(
@@ -228,10 +300,12 @@ def _sharded_call_cascade_sampled(
     salts,
     shorts,
     capacity: int,
+    collect: bool = False,
 ):
     from ..ops.filter_jax import filter_hits_sampled
 
     data, rep = P(DATA_AXIS), P()
+    buf_spec = rep if collect else data
 
     def local_fn(w, ch, ln, mll):
         idx, lw, sw, n = filter_hits_sampled(
@@ -243,13 +317,20 @@ def _sharded_call_cascade_sampled(
         # grid cells per shard: rows x ceil(row_len / stride)
         local_cells = ch.shape[0] * (-(-ch.shape[1] // stride))
         idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
-        return idx[None], lw[None], sw[None], n[None]
+        counts, gstats = _globalize_counts(n)
+        return (
+            _maybe_collect(idx, collect),
+            _maybe_collect(lw, collect),
+            _maybe_collect(sw, collect),
+            counts,
+            gstats,
+        )
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(rep, data, data, rep),
-        out_specs=(data, data, data, data),
+        out_specs=(buf_spec, buf_spec, buf_spec, rep, rep),
     )
     return fn(words, chunks, lengths, min_long_len)
 
@@ -258,7 +339,7 @@ def _sharded_call_cascade_sampled(
     jax.jit,
     static_argnames=(
         "mesh", "n_classes", "q", "stride", "log2_words", "salts", "shorts",
-        "win_len", "cap_hits", "cap_flagged",
+        "win_len", "cap_hits", "cap_flagged", "collect",
     ),
 )
 def _sharded_call_sampled_verified(
@@ -281,13 +362,17 @@ def _sharded_call_sampled_verified(
     win_len: int,
     cap_hits: int,
     cap_flagged: int,
+    collect: bool = False,
 ):
     """Sampled filter + device window verification chained inside ONE
     shard_map dispatch — each shard's flagged windows come back as global
-    grid-cell ids; everything else stays on its chip."""
+    grid-cell ids; everything else stays on its chip.  Per-shard filter-hit
+    and flagged-window counts come back replicated (all_gather) together
+    with the ``[psum, pmax]`` scalars of each."""
     from ..ops.filter_jax import filter_hits_sampled, verify_windows
 
     data, rep = P(DATA_AXIS), P()
+    buf_spec = rep if collect else data
 
     def local_fn(w, tf, bc, ub, ch, ln, mll, fs):
         idx, _lw, _sw, n = filter_hits_sampled(
@@ -305,13 +390,20 @@ def _sharded_call_sampled_verified(
         cells = jnp.where(
             cells < INT32_MAX, cells + shard * local_cells, cells
         )
-        return cells[None], n[None], nf[None]
+        _, gstats_hits = _globalize_counts(n)
+        nfs, gstats_flagged = _globalize_counts(nf)
+        return (
+            _maybe_collect(cells, collect),
+            nfs,
+            gstats_hits,
+            gstats_flagged,
+        )
 
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, data, data, rep, rep),
-        out_specs=(data, data, data),
+        out_specs=(buf_spec, rep, rep, rep),
     )
     return fn(
         words, table_flat, byte_class, used_bytes, chunks, lengths,
@@ -326,10 +418,13 @@ def sharded_sampled_verified(
     lengths,
     cap_hits: int,
     cap_flagged: int,
+    collect: bool = False,
 ):
     """Mesh wrapper for the chained sampled-filter + window-verify pass.
-    Returns ``(cells [n_shards, capB] global grid ids, n_hits [n_shards],
-    n_flagged [n_shards])``."""
+    Returns ``(cells [n_shards, capB] global grid ids, n_flagged
+    [n_shards] replicated, gstats_hits [2], gstats_flagged [2])`` where
+    each gstats is the replicated ``[psum, pmax]`` of that stage's
+    counts."""
     plan = cascade_model.plan
     dev = cascade_model.device_arrays
     dd = cascade_model.dense_model.device_arrays
@@ -352,6 +447,7 @@ def sharded_sampled_verified(
         win_len=cascade_model.win_len,
         cap_hits=cap_hits,
         cap_flagged=cap_flagged,
+        collect=collect,
     )
 
 
@@ -361,11 +457,12 @@ def sharded_filter_hits_sampled(
     chunks,
     lengths,
     capacity: int,
+    collect: bool = False,
 ):
     """Sharded sampled-mode grid-hit filter.  Returns ``(grid_idx
-    [n_shards, cap], long_word, short_word, counts [n_shards])`` with
-    shard-globalized grid indices (host expansion: CascadeModel
-    expand_hits)."""
+    [n_shards, cap], long_word, short_word, counts [n_shards] replicated,
+    gstats [2] replicated)`` with shard-globalized grid indices (host
+    expansion: CascadeModel expand_hits)."""
     plan = cascade_model.plan
     dev = cascade_model.device_arrays
     return _sharded_call_cascade_sampled(
@@ -380,6 +477,7 @@ def sharded_filter_hits_sampled(
         salts=plan.sampled_salts,
         shorts=plan.shorts,
         capacity=capacity,
+        collect=collect,
     )
 
 
@@ -390,10 +488,11 @@ def sharded_filter_candidates(
     lengths,
     emit_from,
     capacity: int,
+    collect: bool = False,
 ):
     """Sharded (anchored) cascade candidate filter.  Returns
-    ``(idx [n_shards, cap], counts [n_shards])`` with global flattened
-    start indices."""
+    ``(idx [n_shards, cap], counts [n_shards] replicated, gstats [2]
+    replicated)`` with global flattened start indices."""
     plan = cascade_model.plan
     dev = cascade_model.device_arrays
     return _sharded_call_cascade(
@@ -413,6 +512,7 @@ def sharded_filter_candidates(
         shorts=plan.shorts,
         bloom_impl=cascade_model.bloom_impl(),
         capacity=capacity,
+        collect=collect,
     )
 
 
@@ -426,10 +526,12 @@ def sharded_scan_compact_kgram(
     n_classes: int,
     k: int,
     capacity: int,
+    collect: bool = False,
 ):
     """Sharded k-gram scan (see models/kgram_dfa.py).  Returns
     ``(cell_idx [n_shards, cap], prev_state [n_shards, cap],
-    counts [n_shards], carry [B])`` with global cell indices."""
+    counts [n_shards] replicated, gstats [2] replicated, carry [B])``
+    with global cell indices."""
     return _sharded_call_kgram(
         dev_arrays["ktable"],
         dev_arrays["byte_class"],
@@ -443,4 +545,5 @@ def sharded_scan_compact_kgram(
         n_classes=n_classes,
         k=k,
         capacity=capacity,
+        collect=collect,
     )
