@@ -27,14 +27,23 @@ W = 1 << W_LOG2  # 4 MiB int32 table
 N = 1 << 22  # 4.2M lookups
 
 
-def timeit(name, f, *args, fetch=np.asarray, reps=5):
-    out = f(*args)
-    ref = fetch(out)  # compile + sync
+def timeit(name, f, *args, reps=5):
+    """Times f with a device-side checksum reduction — fetching the full
+    result would be relay-bound (~33 MB/s tunnel), not compute-bound."""
+    import functools
+
+    @jax.jit
+    def g(*a):
+        return jnp.sum(f(*a), dtype=jnp.int64) if f(*a).dtype != jnp.float32 \
+            else jnp.sum(f(*a))
+
+    ref = np.asarray(f(*args))  # correctness copy (not timed)
+    float(np.asarray(g(*args)).sum())  # compile + sync
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = f(*args)
-        fetch(r)
+        r = g(*args)
+        np.asarray(r)
         times.append(time.perf_counter() - t0)
     dt = min(times)
     print(

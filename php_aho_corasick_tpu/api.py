@@ -41,7 +41,7 @@ from .core import TrieBuilder, compile_trie, empty_automaton
 from .core.tables import CompiledAutomaton
 from .errors import AddStatus, AhoError, warn
 from .models.dense_dfa import DenseDfaModel
-from .ops.matches import PackedRows, expand_matches, pack_documents
+from .ops.matches import PackedRows, pack_documents
 from .patterns import Pattern, parse_batch
 from .utils import next_pow2 as _next_pow2
 
@@ -255,6 +255,102 @@ class Matcher:
                     results[i] = [r for r in recs if r["pos"] == first_pos]
         return results
 
+    def match_arrays(
+        self,
+        haystacks: Sequence[Haystack],
+        find_all: bool = True,
+    ) -> dict:
+        """Columnar scan output for serving pipelines: returns
+        ``{"doc": int64 [N], "pos": int64 [N], "start_postion": int64 [N],
+        "pattern": int64 [N]}`` in reference emission order, with no
+        per-record Python object construction (the TPU-native high-volume
+        analog of :meth:`match_many`'s reference-schema dicts;
+        ``pattern`` indexes the accepted-pattern list = the order
+        ``add_patterns`` accepted them)."""
+        if not self._valid:
+            warn("match on a closed matcher")
+            raise StateError("matcher is closed")
+        if not self._finalized:
+            self.finalize()
+        docs = [_as_bytes(h) for h in haystacks]
+        parts: List[tuple] = []
+        if self._auto.n_patterns > 0 and docs:
+            limit = self.config.max_launch_bytes
+            group: List[int] = []
+            group_bytes = 0
+            for i, d in enumerate(docs):
+                if group and group_bytes + len(d) > limit:
+                    parts.append(self._group_arrays(docs, group))
+                    group, group_bytes = [], 0
+                group.append(i)
+                group_bytes += len(d)
+            if group:
+                parts.append(self._group_arrays(docs, group))
+        if parts:
+            docs_a = np.concatenate([p[0] for p in parts])
+            ends_a = np.concatenate([p[1] for p in parts])
+            pids_a = np.concatenate([p[2] for p in parts])
+        else:
+            docs_a = ends_a = pids_a = np.zeros(0, np.int64)
+        if not find_all and docs_a.shape[0]:
+            # keep only each doc's first end-position group (vectorized
+            # analog of the reference's callback-return abort)
+            first_i = np.zeros(docs_a.shape[0], dtype=bool)
+            _, first_idx = np.unique(docs_a, return_index=True)
+            first_pos = np.full(int(docs_a.max()) + 1, -1, dtype=np.int64)
+            first_pos[docs_a[first_idx]] = ends_a[first_idx]
+            keep = ends_a == first_pos[docs_a]
+            docs_a, ends_a, pids_a = docs_a[keep], ends_a[keep], pids_a[keep]
+        starts_a = ends_a - self._auto.pat_lens[pids_a]
+        self.stats.record(
+            "arrays", "device", sum(map(len, docs)), int(docs_a.shape[0])
+        )
+        return {
+            "doc": docs_a,
+            "pos": ends_a,
+            "start_postion": starts_a,  # sic: reference API typo
+            "pattern": pids_a,
+        }
+
+    def _group_arrays(self, docs: List[bytes], group: List[int]):
+        """One launch group -> (global_doc_ids, ends, pids)."""
+        sub = [docs[i] for i in group]
+        total = sum(map(len, sub))
+        if total <= self.config.host_scan_threshold and (
+            self.config.backend in ("auto", "host")
+        ):
+            from .ops.matches import csr_expand
+
+            auto = self._auto
+            dparts, eparts, pparts = [], [], []
+            for gi, d in zip(group, sub):
+                if not d:
+                    continue
+                positions, states, _ = self._scan_host_one(d)
+                rec_of, pids = csr_expand(auto, states.astype(np.int64))
+                dparts.append(np.full(pids.shape[0], gi, np.int64))
+                eparts.append(positions.astype(np.int64)[rec_of] + 1)
+                pparts.append(pids)
+            if not dparts:
+                z = np.zeros(0, np.int64)
+                return z, z, z
+            return (
+                np.concatenate(dparts),
+                np.concatenate(eparts),
+                np.concatenate(pparts),
+            )
+        _, docs_a, ends_a, pids_a = self._scan_device_arrays(sub)
+        gmap = np.asarray(group, dtype=np.int64)
+        return gmap[docs_a], ends_a, pids_a
+
+    def _scan_host_one(self, doc: bytes):
+        from . import native
+
+        if native.available():
+            return native.oracle_scan(self._auto, doc)
+        data = np.frombuffer(doc, dtype=np.uint8)
+        return self._model.scan_host(data)
+
     # ------------------------------------------------------------ streaming
 
     def stream(self):
@@ -344,18 +440,11 @@ class Matcher:
 
     def _scan_host(self, docs: List[bytes], results: List[List[dict]]) -> None:
         auto = self._auto
-        from . import native
-
-        use_native = native.available()
         for d, doc in enumerate(docs):
             if not doc:
                 continue
-            if use_native:
-                # C++ scalar scan (~100x the python loop; native/oracle.cc)
-                positions, states, _ = native.oracle_scan(auto, doc)
-            else:
-                data = np.frombuffer(doc, dtype=np.uint8)
-                positions, states, _ = self._model.scan_host(data)
+            # C++ scalar scan when built (~100x the python loop)
+            positions, states, _ = self._scan_host_one(doc)
             out = results[d]
             for t, s in zip(positions, states):
                 lo, hi = auto.emit_start[s], auto.emit_start[s + 1]
@@ -445,11 +534,23 @@ class Matcher:
         return "dfa"
 
     def _scan_device(self, docs: List[bytes], results: List[List[dict]]) -> str:
+        engine, docs_a, ends_a, pids_a = self._scan_device_arrays(docs)
+        self._emit_records(docs_a, ends_a, pids_a, results)
+        return engine
+
+    def _scan_device_arrays(self, docs: List[bytes]):
+        """Device scan of one launch group; returns ``(engine, doc_ids,
+        end_positions, pattern_ids)`` numpy arrays in reference emission
+        order — the vectorized core of both :meth:`match_many` (dict
+        output) and :meth:`match_arrays` (array output)."""
         import math
 
         import jax
 
-        from .ops.matches import expand_matches_kgram
+        from .ops.matches import (
+            expand_matches_arrays,
+            expand_matches_kgram_arrays,
+        )
 
         auto = self._auto
         halo = max(auto.max_len - 1, 0)
@@ -467,9 +568,9 @@ class Matcher:
         if engine == "cascade":
             cm = self.cascade_model
             if use_mesh:
-                it = self._run_sharded_cascade(packed, capacity)
+                arrays = self._run_sharded_cascade(packed, capacity)
             else:
-                it = cm.run(packed, capacity)
+                arrays = cm.run_arrays(packed, capacity)
         elif engine == "kgram":
             k = self.kgram_model.k
             if use_mesh:
@@ -490,7 +591,9 @@ class Matcher:
                     capacity = _next_pow2(n)
                 cells_np = np.asarray(cells)
                 prevs_np = np.asarray(prevs)
-            it = expand_matches_kgram(auto, packed, k, cells_np, prevs_np, n)
+            arrays = expand_matches_kgram_arrays(
+                auto, packed, k, cells_np, prevs_np, n
+            )
         else:
             if use_mesh:
                 # (tile falls back to the sharded dense kernel for now)
@@ -512,16 +615,42 @@ class Matcher:
                     capacity = _next_pow2(n)
                 idx_np = np.asarray(idx)
                 sts_np = np.asarray(sts)
-            it = expand_matches(auto, packed, idx_np, sts_np, n)
+            arrays = expand_matches_arrays(auto, packed, idx_np, sts_np, n)
+        return (engine,) + tuple(arrays)
 
-        for d, pos, pids in it:
-            out = results[d]
-            for pid in pids:
-                out.append(self._format(int(pid), pos))
-        return engine
+    def _emit_records(self, docs_a, ends_a, pids_a, results) -> None:
+        """Build reference-schema dicts from emission arrays.  Per-pattern
+        constant parts (key/keyIdx/aux items, length, original value) are
+        cached so the per-record work is one small dict build."""
+        protos = self._fmt_protos()
+        for i in range(docs_a.shape[0]):
+            tail, plen, value = protos[pids_a[i]]
+            pos = int(ends_a[i])
+            rec = {"pos": pos}
+            rec.update(tail)
+            rec["start_postion"] = pos - plen
+            rec["value"] = value
+            results[docs_a[i]].append(rec)
+
+    def _fmt_protos(self):
+        if getattr(self, "_protos", None) is None or len(self._protos) != len(
+            self._patterns
+        ):
+            protos = []
+            for p in self._patterns:
+                tail = {}
+                if p.key is not None:
+                    tail["key"] = p.key
+                elif p.ident is not None:
+                    tail["keyIdx"] = p.ident
+                if p.has_aux:
+                    tail["aux"] = p.aux
+                protos.append((tail, len(p.value), p.value_orig))
+            self._protos = protos
+        return self._protos
 
     def _run_sharded_cascade(self, packed: PackedRows, capacity: int):
-        """Mesh-sharded cascade: returns the match-emission iterator.
+        """Mesh-sharded cascade: returns ``(docs, ends, pids)`` arrays.
 
         Sampled plans with device verification run the chained
         filter+window-verify pass per shard (one shard_map dispatch);
@@ -567,7 +696,7 @@ class Matcher:
             merged = (
                 np.concatenate(parts) if parts else np.zeros(0, np.int32)
             )
-            return cm.emit_windows(packed, merged, merged.shape[0])
+            return cm.emit_windows_arrays(packed, merged, merged.shape[0])
         if cm.plan.mode == "sampled":
             while True:
                 idx, lw, sw, counts, gstats = sharded_filter_hits_sampled(
@@ -591,7 +720,7 @@ class Matcher:
             merged = (
                 np.concatenate(parts) if parts else np.zeros(0, np.int64)
             )
-            return cm.verify(packed, merged, total)
+            return cm.verify_arrays(packed, merged, total)
         while True:
             idx, counts, gstats = sharded_filter_candidates(
                 mesh, cm, chunks, lengths, emit_from, capacity,
@@ -607,7 +736,7 @@ class Matcher:
         merged = (
             np.concatenate(parts) if parts else np.zeros(0, np.int32)
         )
-        return cm.verify(packed, merged, int(counts_np.sum()))
+        return cm.verify_arrays(packed, merged, int(counts_np.sum()))
 
     def _run_sharded(self, packed: PackedRows, capacity: int, engine: str):
         """Mesh-sharded scan with exact capacity-retry (see parallel/)."""

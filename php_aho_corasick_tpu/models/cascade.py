@@ -479,9 +479,10 @@ class CascadeModel:
         )
         return cells, n_d, nf_d
 
-    def run(self, packed: PackedRows, capacity: int, dev_inputs=None):
+    def run_arrays(self, packed: PackedRows, capacity: int, dev_inputs=None):
         """Full cascade on one device: filter (+ device window verify when
-        available) and return the reference-order match iterator.
+        available); returns ``(docs, end_pos, pids)`` arrays in reference
+        emission order.
 
         ``dev_inputs``: optional ``(chunks, lengths, emit_from)`` already on
         device — steady-state callers scanning one resident corpus many
@@ -505,24 +506,39 @@ class CascadeModel:
 
             cells, nf = self.adaptive_chain(launch)
             if nf == 0:
-                return iter(())  # common case: nothing crosses the relay
-            return self.emit_windows(packed, np.asarray(cells), nf)
+                z = np.zeros(0, np.int64)
+                return z, z, z  # common case: nothing crosses the relay
+            return self.emit_windows_arrays(packed, np.asarray(cells), nf)
         idx_np, n = self.candidates_np(packed, capacity)
-        return self.verify(packed, idx_np, n)
+        return self.verify_arrays(packed, idx_np, n)
 
-    def emit_windows(
+    def run(self, packed: PackedRows, capacity: int, dev_inputs=None):
+        """Iterator facade over :meth:`run_arrays`."""
+        docs, ends, pids = self.run_arrays(packed, capacity, dev_inputs)
+
+        def gen():
+            for i in range(docs.shape[0]):
+                yield int(docs[i]), int(ends[i]), pids[i : i + 1]
+
+        return gen()
+
+    def emit_windows_arrays(
         self, packed: PackedRows, win_cells: np.ndarray, n_flagged: int
-    ) -> Iterator[Tuple[int, int, np.ndarray]]:
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host re-walk of the (rare) flagged windows; applies the
-        exactly-once ownership rules and yields ``(doc, end_pos, [pid])``
-        in reference emission order.
+        exactly-once ownership rules and returns ``(docs, end_pos, pids)``
+        arrays in reference emission order — vectorized per window step
+        and per emission (no per-record Python loop).
 
         Ownership: a long occurrence at start ``t`` belongs to the window
         of its guaranteed grid hit ``ceil(t / stride)``; a short one to
         ``floor(t / stride)`` — each match is accepted by exactly one
         flagged window even when neighboring windows overlap it."""
+        z = np.zeros(0, np.int64)
         if n_flagged == 0:
-            return iter(())
+            return z, z, z
+        from ..ops.matches import csr_expand
+
         auto = self.auto
         s = self.plan.stride
         L = packed.row_len
@@ -537,39 +553,53 @@ class CascadeModel:
         row_emit = packed.emit_from[rows].astype(np.int64)
         short_limit = self.config.cascade_min_q
         states = np.zeros(g.shape[0], dtype=np.int64)
-        out: List[Tuple[int, int, int, int]] = []  # (row, end, start, pid)
+        parts: List[np.ndarray] = []  # [4, n] stacks of (row, end, start, pid)
         for j in range(self.win_len):
             pos = w0 + j
             valid = (pos >= 0) & (pos < row_len)
             byte = packed.chunks[rows, np.clip(pos, 0, L - 1)]
             cls = np.where(valid, bc[byte], 0)
             states = table[states, cls].astype(np.int64)
-            fin = np.nonzero((states >= auto.final_start) & valid)[0]
-            for i in fin:
-                st = states[i]
-                e = int(pos[i])  # end-1 byte index
-                if not (row_emit[i] <= e < row_len[i]):
-                    continue
-                lo, hi = auto.emit_start[st], auto.emit_start[st + 1]
-                for pid in auto.emit_pats[lo:hi]:
-                    ln = int(auto.pat_lens[pid])
-                    t = e + 1 - ln
-                    if ln >= short_limit:
-                        owner = -(-t // s)  # ceil
-                    else:
-                        owner = t // s
-                    if owner == m[i]:
-                        out.append((int(rows[i]), e + 1, t, int(pid)))
-        if not out:
-            return iter(())
-        arr = np.asarray(out, dtype=np.int64)
-        order = np.lexsort((arr[:, 2], arr[:, 1], arr[:, 0]))
-        docs = packed.doc_id[arr[order, 0]]
-        ends = packed.global_off[arr[order, 0]] + arr[order, 1]
-        pids = arr[order, 3]
+            emit = (
+                (states >= auto.final_start)
+                & valid
+                & (pos >= row_emit)
+                & (pos < row_len)
+            )
+            fin = np.nonzero(emit)[0]
+            if fin.size == 0:
+                continue
+            rec_of, pids = csr_expand(auto, states[fin])
+            src = fin[rec_of]
+            e = pos[src]  # end-1 byte index
+            ln = auto.pat_lens[pids].astype(np.int64)
+            t = e + 1 - ln
+            owner = np.where(ln >= short_limit, -(-t // s), t // s)
+            keep = owner == m[src]
+            if keep.any():
+                parts.append(
+                    np.stack(
+                        [rows[src][keep], e[keep] + 1, t[keep], pids[keep]]
+                    )
+                )
+        if not parts:
+            return z, z, z
+        arr = np.concatenate(parts, axis=1)  # [4, n]
+        order = np.lexsort((arr[2], arr[1], arr[0]))
+        docs = packed.doc_id[arr[0, order]].astype(np.int64)
+        ends = packed.global_off[arr[0, order]] + arr[1, order]
+        return docs, ends, arr[3, order]
+
+    def emit_windows(
+        self, packed: PackedRows, win_cells: np.ndarray, n_flagged: int
+    ) -> Iterator[Tuple[int, int, np.ndarray]]:
+        """Iterator facade over :meth:`emit_windows_arrays`."""
+        docs, ends, pids = self.emit_windows_arrays(
+            packed, win_cells, n_flagged
+        )
 
         def gen():
-            for i in range(order.shape[0]):
+            for i in range(docs.shape[0]):
                 yield int(docs[i]), int(ends[i]), pids[i : i + 1]
 
         return gen()
@@ -626,17 +656,18 @@ class CascadeModel:
             capacity=capacity,
         )
 
-    def verify(
+    def verify_arrays(
         self,
         packed: PackedRows,
         start_idx: np.ndarray,  # [capacity] flattened b * L + p, ascending
         n_cand: int,
-    ) -> Iterator[Tuple[int, int, np.ndarray]]:
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Exact verification: vectorized goto-walk from root over each
-        candidate window; yields ``(doc, end_pos, [pid])`` in reference
-        emission order ``(row, end, start)``."""
+        candidate window; returns ``(docs, end_pos, pids)`` arrays in
+        reference emission order ``(row, end, start)``."""
         if n_cand == 0:
-            return iter(())
+            z = np.zeros(0, np.int64)
+            return z, z, z
         auto = self.auto
         L = packed.row_len
         idx = start_idx[:n_cand].astype(np.int64)
@@ -682,18 +713,28 @@ class CascadeModel:
             if not on_path.all():
                 act = act[on_path]
         if not out_rows:
-            return iter(())
+            z = np.zeros(0, np.int64)
+            return z, z, z
         r = np.concatenate(out_rows)
         e = np.concatenate(out_end)
         st = np.concatenate(out_start)
         pid = np.concatenate(out_pid)
         order = np.lexsort((st, e, r))  # (row, end, start): longest-first
-        docs = packed.doc_id[r[order]]
+        docs = packed.doc_id[r[order]].astype(np.int64)
         ends = packed.global_off[r[order]] + e[order]
-        pids = pid[order]
+        return docs, ends, pid[order].astype(np.int64)
+
+    def verify(
+        self,
+        packed: PackedRows,
+        start_idx: np.ndarray,
+        n_cand: int,
+    ) -> Iterator[Tuple[int, int, np.ndarray]]:
+        """Iterator facade over :meth:`verify_arrays`."""
+        docs, ends, pids = self.verify_arrays(packed, start_idx, n_cand)
 
         def gen():
-            for i in range(order.shape[0]):
+            for i in range(docs.shape[0]):
                 yield int(docs[i]), int(ends[i]), pids[i : i + 1]
 
         return gen()

@@ -131,18 +131,65 @@ def merge_shard_buffers(
     )
 
 
-def expand_matches(
+def csr_expand(
+    auto: CompiledAutomaton,
+    states: np.ndarray,  # [n] final states
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized CSR emit-table expansion: for each final state, all its
+    pattern ids (own + failure-chain factors, ``node_collect_matches``
+    order).  Returns ``(rec_of [total] int64 — index of the source record
+    each pattern id belongs to — and pids [total])`` with no Python loop."""
+    starts = auto.emit_start[states]
+    cnt = (auto.emit_start[states + 1] - starts).astype(np.int64)
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    rec_of = np.repeat(np.arange(states.shape[0], dtype=np.int64), cnt)
+    # offset within each record's CSR row: global position minus the
+    # record's first output slot
+    first_out = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    offs = np.repeat(starts - first_out, cnt) + np.arange(total)
+    return rec_of, auto.emit_pats[offs].astype(np.int64)
+
+
+def expand_matches_arrays(
     auto: CompiledAutomaton,
     packed: PackedRows,
     match_idx: np.ndarray,  # [capacity] int32, INT32_MAX-padded, ascending
     match_state: np.ndarray,  # [capacity] int32
     n_matches: int,
-) -> Iterator[Tuple[int, int, np.ndarray]]:
-    """Yield ``(doc, end_pos, pattern_ids)`` per final position, in order.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fully vectorized expansion of the compacted device output into
+    ``(docs [N], end_pos [N], pids [N])`` arrays in reference emission
+    order (ascending end position; within one end the state's own longest
+    pattern first — the CSR rows are stored in that order).
 
     ``end_pos`` is the *exclusive* byte end offset within the document —
     the reference's ``pos`` field (``php_ahocorasick.c:555-560``).
     """
+    if n_matches == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    L = packed.row_len
+    idx = match_idx[:n_matches]
+    sts = match_state[:n_matches].astype(np.int64)
+    rows = idx // L
+    ts = idx % L
+    end_pos = packed.global_off[rows] + ts + 1
+    docs = packed.doc_id[rows].astype(np.int64)
+    rec_of, pids = csr_expand(auto, sts)
+    return docs[rec_of], end_pos[rec_of], pids
+
+
+def expand_matches(
+    auto: CompiledAutomaton,
+    packed: PackedRows,
+    match_idx: np.ndarray,
+    match_state: np.ndarray,
+    n_matches: int,
+) -> Iterator[Tuple[int, int, np.ndarray]]:
+    """Iterator facade over :func:`expand_matches_arrays` — yields
+    ``(doc, end_pos, pattern_ids)`` per final position, in order."""
     if n_matches == 0:
         return
     L = packed.row_len
@@ -158,23 +205,25 @@ def expand_matches(
         yield int(docs[i]), int(end_pos[i]), auto.emit_pats[starts[i] : ends[i]]
 
 
-def expand_matches_kgram(
+def expand_matches_kgram_arrays(
     auto: CompiledAutomaton,
     packed: PackedRows,
     k: int,
     cell_idx: np.ndarray,  # [capacity] flattened b * (L/k) + cell, ascending
     prev_state: np.ndarray,  # [capacity] state entering each flagged cell
     n_cells: int,
-) -> Iterator[Tuple[int, int, np.ndarray]]:
-    """Re-walk flagged k-gram cells to exact per-position matches.
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Re-walk flagged k-gram cells to exact per-position matches —
+    vectorized end to end (k table steps over all flagged cells, then one
+    CSR expansion); no per-record Python loop.
 
     The device only flags cells (k-byte windows) containing at least one
-    final position; here each flagged cell's bytes are re-run through the
-    1-gram table — vectorized across all flagged cells, k steps total — and
-    precise (position, state) matches are emitted in reference scan order.
-    """
+    final position.  Returns ``(docs, end_pos, pids)`` arrays in reference
+    scan order (cells ascending row-major; positions ascending within a
+    cell)."""
     if n_cells == 0:
-        return
+        z = np.zeros(0, np.int64)
+        return z, z, z
     Lc = packed.row_len // k
     cells = cell_idx[:n_cells].astype(np.int64)
     prevs = prev_state[:n_cells].astype(np.int64)
@@ -202,15 +251,28 @@ def expand_matches_kgram(
         valid_j[j] = (s >= fs) & (pos >= row_emit_from) & (pos < row_len)
         state_j[j] = s
         pos_j[j] = pos
-    doc_ids = packed.doc_id[rows]
-    offs = packed.global_off[rows]
-    for i in range(n_cells):
-        for j in range(k):
-            if valid_j[j, i]:
-                st = state_j[j, i]
-                lo, hi = auto.emit_start[st], auto.emit_start[st + 1]
-                yield (
-                    int(doc_ids[i]),
-                    int(offs[i] + pos_j[j, i] + 1),
-                    auto.emit_pats[lo:hi],
-                )
+    # flatten cell-major then j (transpose): exact scan order
+    sel = valid_j.T.reshape(-1)
+    states_f = state_j.T.reshape(-1)[sel]
+    ends_f = (
+        packed.global_off[rows][:, None] + pos_j.T + 1
+    ).reshape(-1)[sel]
+    docs_f = np.repeat(packed.doc_id[rows].astype(np.int64), k)[sel]
+    rec_of, pids = csr_expand(auto, states_f)
+    return docs_f[rec_of], ends_f[rec_of], pids
+
+
+def expand_matches_kgram(
+    auto: CompiledAutomaton,
+    packed: PackedRows,
+    k: int,
+    cell_idx: np.ndarray,
+    prev_state: np.ndarray,
+    n_cells: int,
+) -> Iterator[Tuple[int, int, np.ndarray]]:
+    """Iterator facade over :func:`expand_matches_kgram_arrays`."""
+    docs, ends, pids = expand_matches_kgram_arrays(
+        auto, packed, k, cell_idx, prev_state, n_cells
+    )
+    for i in range(docs.shape[0]):
+        yield int(docs[i]), int(ends[i]), pids[i : i + 1]

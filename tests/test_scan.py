@@ -226,3 +226,49 @@ def test_blocked_nonzero_matches_plain():
         if cnt <= cap:  # exact when within capacity
             np.testing.assert_array_equal(idx[:cnt], want)
             assert (idx[cnt:] == INT32_MAX).all()
+
+
+def test_match_arrays_parity_with_dicts():
+    """match_arrays output must be the columnar image of match_many."""
+    import numpy as np
+
+    from php_aho_corasick_tpu import Matcher, ScanConfig
+
+    pats = [
+        {"key": "ab", "value": "alfa"},
+        {"value": "lfa"},
+        {"id": 9, "value": "zz"},
+    ]
+    docs = [b"xxalfayyzz", b"", b"lfazzalfa"]
+    m = Matcher(pats, ScanConfig(backend="device"))
+    arr = m.match_arrays(docs)
+    recs = m.match_many(docs)
+    flat = [
+        (d, r["pos"], r["start_postion"], r["value"])
+        for d, rl in enumerate(recs)
+        for r in rl
+    ]
+    vals = [p["value"].encode() if isinstance(p["value"], str) else p["value"]
+            for p in pats]
+    got = [
+        (int(arr["doc"][i]), int(arr["pos"][i]),
+         int(arr["start_postion"][i]), vals[int(arr["pattern"][i])])
+        for i in range(arr["doc"].shape[0])
+    ]
+    want = [(d, p, s, v.encode() if isinstance(v, str) else v)
+            for d, p, s, v in flat]
+    assert got == want
+    # find_all=False parity
+    arr1 = m.match_arrays(docs, find_all=False)
+    recs1 = m.match_many(docs, find_all=False)
+    n1 = sum(map(len, recs1))
+    assert arr1["doc"].shape[0] == n1
+
+
+def test_match_arrays_host_path():
+    from php_aho_corasick_tpu import Matcher, ScanConfig
+
+    m = Matcher([{"id": 0, "value": "ab"}], ScanConfig(backend="host"))
+    arr = m.match_arrays([b"abxab"])
+    assert list(arr["pos"]) == [2, 5]
+    assert list(arr["pattern"]) == [0, 0]
