@@ -182,6 +182,52 @@ def main() -> None:
     e2e_dt = time.time() - t0
     e2e_gbps = total_bytes / e2e_dt / 1e9
 
+    # --- match-density axis (VERDICT r1 #4): the zero-match headline is
+    # the filter fast path; these rows time the FULL pipeline (device
+    # chain + flagged-cell fetch + vectorized host emission) on corpora
+    # with planted needles at d matches/byte.  Measured on a 16 MiB slice
+    # (same per-byte pipeline; keeps the extra XLA shape compiles and the
+    # plant loop off the bench's critical path) with capacities pre-seeded
+    # from the known density so no doubling-ladder recompiles happen.
+    density_rows = {}
+    if use_cascade:
+        dens_docs = base_docs * 8  # 16 MiB
+        dens_bytes = sum(map(len, dens_docs))
+        for dens in (1e-5, 1e-3):
+            n_plant = int(dens * dens_bytes)
+            prng = random.Random(int(dens * 1e9))
+            planted_docs = [bytearray(d) for d in dens_docs]
+            for _ in range(n_plant):
+                di = prng.randrange(len(planted_docs))
+                off = prng.randrange(8192 - 16)
+                nd = needles[prng.randrange(len(needles))]
+                planted_docs[di][off : off + 16] = nd
+            pk = pack_documents(
+                [bytes(d) for d in planted_docs], cfg.chunk_len, halo
+            )
+            dv = (
+                jnp.asarray(pk.chunks),
+                jnp.asarray(pk.lengths),
+                jnp.asarray(pk.emit_from),
+            )
+            cm.seed_caps(2 * n_plant, 2 * n_plant)
+            # warm up (compile for this corpus/capacity shape)
+            docs_a, _, _ = cm.run_arrays(pk, cfg.match_capacity, dev_inputs=dv)
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                docs_a, ends_a, pids_a = cm.run_arrays(
+                    pk, cfg.match_capacity, dev_inputs=dv
+                )
+                times.append(time.time() - t0)
+            ddt = sorted(times)[1]
+            density_rows[f"{dens:g}"] = {
+                "gbps": round(dens_bytes / ddt / 1e9, 4),
+                "pass_ms": round(ddt * 1e3, 2),
+                "matches": int(docs_a.shape[0]),
+                "corpus_mib": round(dens_bytes / 2**20, 1),
+            }
+
     print(
         json.dumps(
             {
@@ -203,6 +249,7 @@ def main() -> None:
                     ),
                     "states": auto.n_states,
                     "matches": pass_matches,
+                    "match_density_gbps": density_rows,
                     "device": str(jax.devices()[0])
                     + ("" if tpu_ok else " (TPU wedged; CPU fallback)"),
                 },

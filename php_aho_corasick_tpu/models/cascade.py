@@ -317,6 +317,16 @@ class CascadeModel:
         bench.py and steady-state serving loops)."""
         return max(self._cap_hits, 256), max(self._cap_flagged, 256)
 
+    def seed_caps(self, n_hits_est: int, n_flagged_est: int) -> None:
+        """Pre-seed the adaptive capacities from workload knowledge (e.g. a
+        known planted-match density) so the first launch on a new corpus
+        doesn't walk the doubling ladder — each distinct capacity is a new
+        XLA compile shape (~20-40 s on TPU)."""
+        self._cap_hits = max(self._cap_hits, _next_pow2(max(n_hits_est, 1)))
+        self._cap_flagged = max(
+            self._cap_flagged, _next_pow2(max(n_flagged_est, 1))
+        )
+
     @property
     def win_len(self) -> int:
         """Window length of the device verifier: covers every occurrence

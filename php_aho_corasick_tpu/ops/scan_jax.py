@@ -114,10 +114,19 @@ def scan_and_compact(
     halo, positions before ``emit_from`` are owned by the neighboring chunk
     (or were already reported by a previous streaming feed) and must not
     emit here.
+
+    ``carry_state[b]`` is the DFA state after the last *valid* byte of row
+    ``b`` (``states[b, lengths[b]-1]``; ``init_state[b]`` for an empty
+    row) — the ``last_node`` analog (``ahocorasick.c:236-238``), usable as
+    ``init_state`` of a continuation row.  Rows are padded to ``L``, so
+    the raw after-L state would be poisoned by pad bytes.
     """
-    states, carry = scan_states(
+    states, _ = scan_states(
         table_flat, byte_class, used_bytes, chunks, init_state, n_classes
     )
+    last_t = jnp.maximum(lengths - 1, 0)
+    carry = jnp.take_along_axis(states, last_t[:, None], axis=1)[:, 0]
+    carry = jnp.where(lengths > 0, carry, init_state)
     idx, match_state, n_matches = compact_final_states(
         states, lengths, emit_from, final_start, capacity
     )

@@ -20,9 +20,9 @@ Semantics reproduced:
   rows are ordered by decreasing length).
 * **Backlog** (``replace.h:71-75``): in streaming mode, output is held back
   past the cut point where a pattern prefix might still be completed by the
-  next chunk (``replace.c:524-535``); the TPU-native stream uses the
-  conservative ``base - (max_len - 1)`` cut, which never changes the final
-  spliced result (only intermediate flush boundaries).
+  next chunk.  The cut is reference-exact: ``base_position -
+  depth(last_node)`` (``replace.c:529``), available because the stream
+  scanner carries the DFA state across feeds (stream.py).
 
 The scan itself is the batched device scan; splicing is host-side and
 proportional to match count, not corpus size.
@@ -144,8 +144,10 @@ class ReplaceStream:
             nom = _nominee_for_group(list(group), self._rmap)
             if nom:
                 self._booker.book(*nom)
-        halo = max(self._m.automaton.max_len - 1, 0)
-        cut = max(self._scanner.base_position - halo, 0)
+        # reference-exact backlog cut (``replace.c:529``): hold back only
+        # the bytes the carried DFA state proves could still extend to a
+        # match — ``depth(last_node)`` bytes, not a fixed ``max_len - 1``
+        cut = max(self._scanner.base_position - self._scanner.state_depth, 0)
         out = self._booker.splice(self._pending, self._pending_off, cut)
         self._drop_consumed()
         return out

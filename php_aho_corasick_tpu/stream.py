@@ -6,18 +6,30 @@ chunks: ``ac_trie_search(..., keep=1)`` preserves ``last_node`` and
 (``src/multifast/ahocorasick.c:191-194, 236-238``; the PHP layer always
 resets, ``php_ahocorasick.c:745``).
 
-TPU-native equivalent: instead of carrying a DFA node pointer, the stream
-keeps the last ``max_len - 1`` *bytes* as a tail.  The DFA state at any
-position depends on at most that many preceding bytes, so prepending the
-tail to the next chunk and suppressing emissions inside it reproduces the
-exact single-pass match stream — while each ``feed`` can still use the
-batched, halo-chunked device scan internally (the tail IS the halo carried
-across calls; SURVEY §2.4 "chunk-halo / sequence continuation").
+TPU-native equivalent: the scanner carries the exact DFA state (the
+``last_node`` analog) across feeds.  The carried state is, by the AC
+closure property, the longest suffix of the consumed stream that is a
+trie node; its depth ``d = state_depth[state]`` is exactly the number of
+trailing bytes that could still be part of a future match (the quantity
+the reference's replace backlog cut is built on, ``replace.c:529``).  A
+feed therefore prepends only those ``d`` bytes — NOT a fixed
+``max_len - 1`` tail — before handing the buffer to the normal batched
+engine pipeline, and suppresses emissions inside them.  Any match
+crossing the boundary with ``l`` bytes before it implies those ``l``
+bytes form a pattern prefix (a trie node), hence ``l <= d``: the ``d``
+prefix bytes are sufficient for exactness.
+
+Per-feed cost is O(len(data) + d) engine work plus an O(min(stream,
+max_len)) host table walk to refresh the carried state — independent of
+``max_len`` on the engine side, and the walk is at most 1024 scalar
+steps (``AC_PATTRN_MAX_LENGTH``, ``actypes.h:148``).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Union
+from typing import List, Union
+
+import numpy as np
 
 
 class StreamScanner:
@@ -38,12 +50,19 @@ class StreamScanner:
         self._m = matcher
         self._m.finalize() if not matcher.finalized else None
         self.base_position = 0  # bytes consumed so far
-        self._tail = b""
+        self.state = 0  # carried DFA state (the ``last_node`` analog)
+        self._tail = b""  # last <= max_len stream bytes (state refresh)
         self._closed = False
+
+    @property
+    def state_depth(self) -> int:
+        """Trie depth of the carried state = number of trailing stream
+        bytes that may still extend to a match (``replace.c:529``)."""
+        return int(self._m.automaton.state_depth[self.state])
 
     def feed(self, data: Union[str, bytes, bytearray]) -> List[dict]:
         """Scan the next chunk; returns matches ending inside it (including
-        matches that started in earlier chunks)."""
+        matches that started in earlier feeds)."""
         if self._closed:
             raise ValueError("stream is closed")
         if isinstance(data, str):
@@ -51,27 +70,45 @@ class StreamScanner:
         data = bytes(data)
         if not data:
             return []
-        text = self._tail + data
-        tail_len = len(self._tail)
-        offset = self.base_position - tail_len
+        d = self.state_depth
+        prefix = self._tail[len(self._tail) - d:] if d else b""
+        text = prefix + data
         recs = self._m.match(text)
+        offset = self.base_position - d
         out = []
         for r in recs:
-            if r["pos"] <= tail_len:
-                continue  # already reported by an earlier feed
+            if r["pos"] <= d:
+                continue  # ends at/inside the carried prefix: already reported
             r = dict(r)
             r["pos"] += offset
             r["start_postion"] += offset
             out.append(r)
-        halo = max(self._m.automaton.max_len - 1, 0)
-        self._tail = text[len(text) - min(halo, len(text)) :] if halo else b""
-        self.base_position += len(data)
+        self._advance(data)
         return out
+
+    def _advance(self, data: bytes) -> None:
+        """Refresh (state, tail, base_position) after consuming ``data``.
+
+        The carried state is recomputed by walking the last
+        ``min(stream_len, max_len)`` bytes from the root: the true state
+        has depth <= max_len, and a root walk over H >= depth trailing
+        bytes lands exactly on the longest-suffix node."""
+        auto = self._m.automaton
+        H = auto.max_len
+        self._tail = (self._tail + data)[-H:] if H else b""
+        table = auto.table
+        cls = auto.byte_class[np.frombuffer(self._tail, dtype=np.uint8)]
+        s = 0
+        for c in cls:
+            s = int(table[s, c])
+        self.state = s
+        self.base_position += len(data)
 
     def reset(self) -> None:
         """Forget all carried state (the ``keep=0`` reset,
         ``ahocorasick.c:191-192``)."""
         self._tail = b""
+        self.state = 0
         self.base_position = 0
 
     def close(self) -> None:
