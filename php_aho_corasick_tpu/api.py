@@ -73,8 +73,10 @@ class Matcher:
         self._trie = self._make_builder(config)
         self._patterns: List[Pattern] = []  # accepted patterns, id = index
         self._statuses: List[AddStatus] = []
-        self._auto: Optional[CompiledAutomaton] = None
-        self._model: Optional[DenseDfaModel] = None
+        self._auto = None  # CompiledAutomaton | CompressedAutomaton
+        self._model = None  # DenseDfaModel | CompressedDfaModel
+        self._used_bytes: set = set()  # distinct pattern bytes (for the
+        # dense-vs-compressed table-size estimate at finalize)
         self._kmodel = None
         self._cascade = _UNSET
         self._tile = _UNSET
@@ -118,6 +120,7 @@ class Matcher:
             st = self._trie.add(p.value)
             if st == AddStatus.SUCCESS:
                 self._patterns.append(p)
+                self._used_bytes.update(p.value)
             statuses.append(st)
         self._statuses.extend(statuses)
         return statuses
@@ -131,6 +134,20 @@ class Matcher:
             return False
         if not self._patterns:
             self._auto = empty_automaton()
+        elif self._use_compressed_table():
+            from .core.automaton import compile_trie_compressed
+            from .models.compressed_dfa import CompressedDfaModel
+
+            if isinstance(self._trie, TrieBuilder):
+                self._auto = compile_trie_compressed(
+                    self._trie, [len(p) for p in self._patterns]
+                )
+            else:  # native builder (signature scale)
+                self._auto = self._trie.compile_compressed()
+            self._trie.closed = True
+            self._model = CompressedDfaModel(self._auto, self.config)
+            self._finalized = True
+            return True
         elif isinstance(self._trie, TrieBuilder):
             self._auto = compile_trie(
                 self._trie,
@@ -146,6 +163,28 @@ class Matcher:
         self._finalized = True
         return True
 
+    def _use_compressed_table(self) -> bool:
+        fmt = self.config.table_format
+        if fmt != "auto":
+            return fmt == "compressed"
+        S = self._trie.n_states
+        C = len(self._used_bytes) + 1
+        dtype_bytes = 2 if (self.config.allow_int16_states and S <= 32767) else 4
+        return S * C * dtype_bytes > self.config.dense_table_max_bytes
+
+    @property
+    def table_format(self) -> str:
+        """Resolved transition-table layout ("dense" or "compressed")."""
+        from .core.tables import CompressedAutomaton
+
+        if not self._finalized:
+            self.finalize()
+        return (
+            "compressed"
+            if isinstance(self._auto, CompressedAutomaton)
+            else "dense"
+        )
+
     # ------------------------------------------------------------ query
 
     @property
@@ -157,14 +196,18 @@ class Matcher:
         return len(self._patterns)
 
     @property
-    def automaton(self) -> CompiledAutomaton:
+    def automaton(self):
+        """The frozen compiled automaton (:class:`CompiledAutomaton`, or
+        :class:`~.core.tables.CompressedAutomaton` for byte-dense
+        signature-scale sets — see :attr:`table_format`)."""
         if not self._finalized:
             self.finalize()
         assert self._auto is not None
         return self._auto
 
     @property
-    def model(self) -> DenseDfaModel:
+    def model(self):
+        """The device scan model (DenseDfaModel or CompressedDfaModel)."""
         if not self._finalized:
             self.finalize()
         assert self._model is not None
@@ -345,8 +388,9 @@ class Matcher:
 
     def _scan_host_one(self, doc: bytes):
         from . import native
+        from .core.tables import CompressedAutomaton
 
-        if native.available():
+        if not isinstance(self._auto, CompressedAutomaton) and native.available():
             return native.oracle_scan(self._auto, doc)
         data = np.frombuffer(doc, dtype=np.uint8)
         return self._model.scan_host(data)
@@ -455,6 +499,10 @@ class Matcher:
     def kgram_model(self):
         """Lazily-built k-gram device model (models/kgram_dfa.py)."""
         if self._kmodel is None:
+            if self.table_format == "compressed":
+                raise AhoError(
+                    "k-gram engine requires the dense table format"
+                )
             from .models.kgram_dfa import KgramDfaModel
 
             self._kmodel = KgramDfaModel(self.automaton, self.config)
@@ -465,6 +513,12 @@ class Matcher:
         """Lazily-planned cascade filter model (models/cascade.py);
         ``None`` when the pattern set is ineligible."""
         if self._cascade is _UNSET:
+            if self.table_format == "compressed":
+                # window verification walks the dense table; the
+                # compressed-table cascade lands with the compressed
+                # window verifier (see models/compressed_dfa.py)
+                self._cascade = None
+                return None
             from .models.cascade import CascadeModel, plan_cascade
 
             plan = plan_cascade(
@@ -484,6 +538,9 @@ class Matcher:
         """VMEM-tile DFA model (models/tile_dfa.py); ``None`` when the
         automaton exceeds the tile budget."""
         if self._tile is _UNSET:
+            if self.table_format == "compressed":
+                self._tile = None
+                return None
             from .models.tile_dfa import TileDfaModel, tile_eligible
 
             self._tile = (
@@ -495,6 +552,12 @@ class Matcher:
 
     def _pick_engine(self, total_payload: int) -> str:
         cfg = self.config
+        if self.table_format == "compressed":
+            if cfg.engine not in ("auto", "dfa"):
+                raise ValueError(
+                    f"engine {cfg.engine!r} requires the dense table format"
+                )
+            return "dfa"  # scan_compact_device dispatches the compressed kernel
         if cfg.engine in ("dfa", "kgram"):
             return cfg.engine
         if cfg.engine == "tile":
@@ -555,7 +618,14 @@ class Matcher:
         auto = self._auto
         halo = max(auto.max_len - 1, 0)
         n_dev = len(jax.devices())
-        use_mesh = self.config.auto_shard and n_dev > 1
+        use_mesh = (
+            self.config.auto_shard
+            and n_dev > 1
+            # sharded kernels currently gather from the dense table; the
+            # compressed format scans single-device (rows are independent,
+            # so callers can still shard corpora across processes)
+            and self.table_format == "dense"
+        )
         batch_pad = (
             math.lcm(self.config.batch_pad, n_dev)
             if use_mesh

@@ -66,6 +66,20 @@ class ScanConfig:
     #: prefers sampled), "tile" (VMEM-resident table; Pallas-gated).
     engine: str = "auto"
 
+    #: Transition-table layout: "auto" switches to the compressed
+    #: (dense-bank + single-exception rows) format when the dense ``[S, C]``
+    #: table would exceed :attr:`dense_table_max_bytes`; "dense" /
+    #: "compressed" force a layout.  Compressed scans cost 3 gathers/byte
+    #: instead of 1 but fit byte-dense million-pattern sets in HBM
+    #: (core/tables.CompressedAutomaton; SURVEY §7 "Table memory at
+    #: signature scale").
+    table_format: str = "auto"
+
+    #: With table_format="auto", estimated dense table bytes above this
+    #: switch finalize to the compressed layout (default 1 GiB — well under
+    #: one v5e chip's 16 GB HBM, leaving room for the corpus and blooms).
+    dense_table_max_bytes: int = 1 << 30
+
     #: Byte budget for the k-gram super-transition table (S * C^k * 4).
     kgram_budget_bytes: int = 256 * 1024 * 1024
 
@@ -124,6 +138,11 @@ class ScanConfig:
             raise ValueError("chunk_len must be >= 1")
         if self.match_capacity < 1:
             raise ValueError("match_capacity must be >= 1")
+        if self.table_format not in ("auto", "dense", "compressed"):
+            raise ValueError(
+                f"table_format must be auto/dense/compressed, "
+                f"got {self.table_format!r}"
+            )
         if self.cascade_mode not in ("auto", "sampled", "anchored"):
             raise ValueError(
                 f"cascade_mode must be auto/sampled/anchored, "

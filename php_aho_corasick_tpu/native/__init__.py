@@ -77,6 +77,16 @@ def _try_load() -> Optional[ctypes.CDLL]:
         lib.aho_export.argtypes = [
             ctypes.c_void_p, _i32p, _i32p, _i64p, _i32p, _i32p, _i32p
         ]
+        lib.aho_builder_compile_compressed.restype = ctypes.c_int
+        lib.aho_builder_compile_compressed.argtypes = [ctypes.c_void_p]
+        for name in ("aho_comp_n_dense", "aho_comp_dense_final_start"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.aho_export_compressed.argtypes = [
+            ctypes.c_void_p, _i32p, _i32p, _i32p, _i32p, _i64p, _i32p,
+            _i32p, _i32p,
+        ]
         lib.aho_kgram_build.argtypes = [
             _i32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
             ctypes.c_int, _i32p,
@@ -114,6 +124,10 @@ class NativeTrieBuilder:
         if h:
             self._lib.aho_builder_free(h)
             self._h = None
+
+    @property
+    def n_states(self) -> int:
+        return int(self._lib.aho_n_states(self._h))
 
     def add(self, pattern: bytes) -> AddStatus:
         if self.closed:
@@ -158,6 +172,59 @@ class NativeTrieBuilder:
             emit_pats=emit_pats[:E],
             pat_lens=pat_lens[:P],
             state_depth=state_depth,
+            final_start=int(lib.aho_final_start(self._h)),
+            max_len=int(lib.aho_max_len(self._h)),
+        )
+
+
+    def compile_compressed(self):
+        """Compile into the compressed (dense bank + single-exception
+        rows) layout — bit-identical to
+        ``core.automaton.compile_trie_compressed``."""
+        from ..core.tables import CompressedAutomaton
+
+        lib = self._lib
+        self.closed = True
+        rc = lib.aho_builder_compile_compressed(self._h)
+        if rc != 0:
+            raise RuntimeError(
+                "compressed compile failed: dense bank exceeds the meta "
+                "packing range; use the dense table format"
+            )
+        S = lib.aho_n_states(self._h)
+        C = lib.aho_n_classes(self._h)
+        D = lib.aho_comp_n_dense(self._h)
+        E = lib.aho_emit_size(self._h)
+        P = lib.aho_n_patterns(self._h)
+        dense_table = np.empty((D, C), dtype=np.int32)
+        meta = np.empty(max(S - D, 1), dtype=np.int32)
+        exc_target = np.empty(max(S - D, 1), dtype=np.int32)
+        byte_class = np.empty(256, dtype=np.int32)
+        emit_start = np.empty(S + 1, dtype=np.int64)
+        emit_pats = np.empty(max(E, 1), dtype=np.int32)
+        pat_lens = np.empty(max(P, 1), dtype=np.int32)
+        state_depth = np.empty(S, dtype=np.int32)
+        lib.aho_export_compressed(
+            self._h,
+            dense_table.ctypes.data_as(_i32p),
+            meta.ctypes.data_as(_i32p),
+            exc_target.ctypes.data_as(_i32p),
+            byte_class.ctypes.data_as(_i32p),
+            emit_start.ctypes.data_as(_i64p),
+            emit_pats.ctypes.data_as(_i32p),
+            pat_lens.ctypes.data_as(_i32p),
+            state_depth.ctypes.data_as(_i32p),
+        )
+        return CompressedAutomaton(
+            dense_table=dense_table,
+            meta=meta[: S - D],
+            exc_target=exc_target[: S - D],
+            byte_class=byte_class,
+            emit_start=emit_start,
+            emit_pats=emit_pats[:E],
+            pat_lens=pat_lens[:P],
+            state_depth=state_depth,
+            dense_final_start=int(lib.aho_comp_dense_final_start(self._h)),
             final_start=int(lib.aho_final_start(self._h)),
             max_len=int(lib.aho_max_len(self._h)),
         )

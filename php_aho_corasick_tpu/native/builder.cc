@@ -47,6 +47,13 @@ struct Builder {
   std::vector<int32_t> state_depth; // [S], renumbered
   int64_t final_start = 0;
 
+  // set by compile_compressed() (core/tables.CompressedAutomaton layout):
+  std::vector<int32_t> comp_dense;  // [D * C] dense-bank rows, renumbered
+  std::vector<int32_t> comp_meta;   // [S - D] skip * 512 + exc_class + 1
+  std::vector<int32_t> comp_tgt;    // [S - D]
+  int64_t comp_n_dense = 0;
+  int64_t comp_dense_final_start = 0;
+
   Builder() { nodes.emplace_back(); }
 
   int32_t find_edge(const Node& n, uint8_t b) const {
@@ -187,6 +194,184 @@ int aho_builder_compile(Builder* b) {
     }
   }
   return 0;
+}
+
+// Compile trie -> compressed (dense bank + single-exception sparse rows)
+// automaton — the signature-scale format (see core/tables.py
+// CompressedAutomaton and core/automaton.py compile_trie_compressed, to
+// which this is bit-identical).  Never materializes the dense [S, C]
+// table: each state is either a bank row or one (class -> target)
+// exception over its nearest dense failure ancestor's row.
+static constexpr int32_t kExcPack = 512;  // tables.EXC_PACK
+
+int aho_builder_compile_compressed(Builder* b) {
+  b->closed = true;
+  const int64_t S = static_cast<int64_t>(b->nodes.size());
+
+  bool used[256] = {false};
+  for (const auto& n : b->nodes)
+    for (const auto& e : n.edges) used[e.first] = true;
+  int c = 1;
+  for (int i = 0; i < 256; ++i) b->byte_class[i] = used[i] ? c++ : 0;
+  const int C = c;
+  b->n_classes = C;
+
+  int max_depth = 0;
+  for (const auto& n : b->nodes)
+    if (n.depth > max_depth) max_depth = n.depth;
+  std::vector<std::vector<int32_t>> by_level(max_depth + 1);
+  for (int64_t s = 0; s < S; ++s)
+    by_level[b->nodes[s].depth].push_back(static_cast<int32_t>(s));
+
+  std::vector<int64_t> counts(S, 0);
+  std::vector<uint8_t> is_dense(S, 0);
+  std::vector<int32_t> exc_cls(S, -1), exc_tgt(S, 0), skip(S, 0);
+  std::vector<int64_t> dense_slot(S, -1);
+  std::vector<int32_t> bank;  // [n_bank * C]
+  int64_t n_bank = 0;
+
+  auto delta = [&](int32_t u, int32_t cl) -> int32_t {
+    if (is_dense[u]) return bank[dense_slot[u] * C + cl];
+    if (cl == exc_cls[u]) return exc_tgt[u];
+    return bank[dense_slot[skip[u]] * C + cl];
+  };
+
+  // root: always dense
+  {
+    bank.assign(C, 0);
+    for (const auto& e : b->nodes[0].edges)
+      bank[b->byte_class[e.first]] = e.second;
+    is_dense[0] = 1;
+    dense_slot[0] = 0;
+    n_bank = 1;
+    for (const auto& e : b->nodes[0].edges) b->nodes[e.second].fail = 0;
+  }
+
+  for (int d = 1; d <= max_depth; ++d) {
+    for (int32_t s : by_level[d]) {
+      Node& n = b->nodes[s];
+      const int32_t f = n.fail;
+      counts[s] = (n.own >= 0 ? 1 : 0) + counts[f];
+
+      const int64_t n_own = static_cast<int64_t>(n.edges.size());
+      const int32_t inh_cls = is_dense[f] ? -1 : exc_cls[f];
+      const int32_t inh_tgt = exc_tgt[f];
+      const int32_t base_skip = is_dense[f] ? f : skip[f];
+      bool shadow = false;
+      if (n_own == 1 && inh_cls >= 0 &&
+          b->byte_class[n.edges[0].first] == inh_cls)
+        shadow = true;
+      const int64_t n_exc = n_own + ((inh_cls >= 0 && !shadow) ? 1 : 0);
+
+      if (n_exc <= 1) {  // sparse
+        if (n_own == 1) {
+          exc_cls[s] = b->byte_class[n.edges[0].first];
+          exc_tgt[s] = n.edges[0].second;
+        } else if (inh_cls >= 0) {
+          exc_cls[s] = inh_cls;
+          exc_tgt[s] = inh_tgt;
+        }
+        skip[s] = base_skip;
+      } else {  // promote to dense
+        const size_t off = bank.size();
+        bank.resize(off + C);
+        std::memcpy(&bank[off], &bank[dense_slot[base_skip] * C],
+                    sizeof(int32_t) * C);
+        if (inh_cls >= 0) bank[off + inh_cls] = inh_tgt;
+        for (const auto& e : n.edges)
+          bank[off + b->byte_class[e.first]] = e.second;
+        is_dense[s] = 1;
+        dense_slot[s] = n_bank++;
+      }
+    }
+    for (int32_t s : by_level[d]) {
+      for (const auto& e : b->nodes[s].edges)
+        b->nodes[e.second].fail =
+            delta(b->nodes[s].fail, b->byte_class[e.first]);
+    }
+  }
+
+  if (n_bank >= (int64_t{1} << 31) / kExcPack) return 1;  // meta overflow
+
+  // renumber [dense nonfinal][dense final][sparse nonfinal][sparse final]
+  std::vector<int32_t> perm(S), new_order(S);
+  int64_t next_id = 0;
+  for (int pass = 0; pass < 4; ++pass) {
+    const bool want_dense = pass < 2;
+    const bool want_final = (pass % 2) == 1;
+    for (int64_t s = 0; s < S; ++s)
+      if ((is_dense[s] != 0) == want_dense &&
+          (counts[s] > 0) == want_final) {
+        perm[s] = static_cast<int32_t>(next_id);
+        new_order[next_id++] = static_cast<int32_t>(s);
+      }
+    if (pass == 0) b->comp_dense_final_start = next_id;
+    if (pass == 1) b->comp_n_dense = next_id;
+    if (pass == 2) b->final_start = next_id;
+  }
+  const int64_t D = b->comp_n_dense;
+
+  b->comp_dense.resize(D * C);
+  for (int64_t ns = 0; ns < D; ++ns) {
+    const int32_t* src = &bank[dense_slot[new_order[ns]] * C];
+    int32_t* dst = &b->comp_dense[ns * C];
+    for (int j = 0; j < C; ++j) dst[j] = perm[src[j]];
+  }
+  b->comp_meta.resize(S - D);
+  b->comp_tgt.resize(S - D);
+  for (int64_t ns = D; ns < S; ++ns) {
+    const int32_t s = new_order[ns];
+    b->comp_meta[ns - D] = perm[skip[s]] * kExcPack + exc_cls[s] + 1;
+    b->comp_tgt[ns - D] = exc_cls[s] >= 0 ? perm[exc_tgt[s]] : 0;
+  }
+
+  b->state_depth.resize(S);
+  for (int64_t ns = 0; ns < S; ++ns)
+    b->state_depth[ns] = b->nodes[new_order[ns]].depth;
+
+  b->emit_start.assign(S + 1, 0);
+  for (int64_t ns = 0; ns < S; ++ns)
+    b->emit_start[ns + 1] = b->emit_start[ns] + counts[new_order[ns]];
+  b->emit_pats.resize(b->emit_start[S]);
+  for (int64_t ns = 0; ns < S; ++ns) {
+    int64_t w = b->emit_start[ns];
+    for (int32_t s = new_order[ns]; ; s = b->nodes[s].fail) {
+      if (b->nodes[s].own >= 0) b->emit_pats[w++] = b->nodes[s].own;
+      if (s == 0) break;
+    }
+  }
+  return 0;
+}
+
+int64_t aho_comp_n_dense(const Builder* b) { return b->comp_n_dense; }
+int64_t aho_comp_dense_final_start(const Builder* b) {
+  return b->comp_dense_final_start;
+}
+
+void aho_export_compressed(const Builder* b, int32_t* dense_table,
+                           int32_t* meta, int32_t* exc_target,
+                           int32_t* byte_class, int64_t* emit_start,
+                           int32_t* emit_pats, int32_t* pat_lens,
+                           int32_t* state_depth) {
+  std::memcpy(dense_table, b->comp_dense.data(),
+              b->comp_dense.size() * sizeof(int32_t));
+  if (!b->comp_meta.empty()) {
+    std::memcpy(meta, b->comp_meta.data(),
+                b->comp_meta.size() * sizeof(int32_t));
+    std::memcpy(exc_target, b->comp_tgt.data(),
+                b->comp_tgt.size() * sizeof(int32_t));
+  }
+  std::memcpy(byte_class, b->byte_class, sizeof(b->byte_class));
+  std::memcpy(emit_start, b->emit_start.data(),
+              b->emit_start.size() * sizeof(int64_t));
+  if (!b->emit_pats.empty())
+    std::memcpy(emit_pats, b->emit_pats.data(),
+                b->emit_pats.size() * sizeof(int32_t));
+  if (!b->pat_lens.empty())
+    std::memcpy(pat_lens, b->pat_lens.data(),
+                b->pat_lens.size() * sizeof(int32_t));
+  std::memcpy(state_depth, b->state_depth.data(),
+              b->state_depth.size() * sizeof(int32_t));
 }
 
 int64_t aho_n_states(const Builder* b) {

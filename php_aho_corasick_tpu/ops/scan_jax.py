@@ -133,6 +133,88 @@ def scan_and_compact(
     return idx, match_state, n_matches, carry
 
 
+@functools.partial(jax.jit, static_argnames=("n_classes", "n_dense"))
+def scan_states_compressed(
+    dense_flat: jax.Array,  # [D*C] int32 dense-bank rows
+    meta: jax.Array,  # [S-D] int32 packed (skip * EXC_PACK + exc_class + 1)
+    exc_target: jax.Array,  # [S-D] int32
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8
+    init_state: jax.Array,  # [B] int32
+    n_classes: int,
+    n_dense: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """DFA scan over the compressed (dense bank + single-exception row)
+    table — see core/tables.CompressedAutomaton.  Fixed 3 gathers per byte
+    (meta, exc_target, dense fallback) with no data-dependent control flow;
+    the TPU-shaped replacement for the reference's failure-link chasing
+    (``ahocorasick.c:203-206``) when the dense ``[S, C]`` table would
+    exceed HBM (byte-dense million-pattern sets, SURVEY §7)."""
+    from ..core.tables import EXC_PACK
+
+    cls = _classes(chunks, byte_class, used_bytes)
+    D = jnp.int32(n_dense)
+
+    def step(state, cls_t):
+        sp = jnp.maximum(state - D, 0)
+        m = jnp.take(meta, sp)
+        tgt = jnp.take(exc_target, sp)
+        key = m % EXC_PACK - 1
+        skip = m // EXC_PACK
+        row = jnp.where(state < D, state, skip)
+        fb = jnp.take(dense_flat, row * n_classes + cls_t)
+        ns = jnp.where((state >= D) & (cls_t == key), tgt, fb)
+        return ns, ns
+
+    last, states = jax.lax.scan(step, init_state, cls.T)
+    return states.T, last
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_classes", "n_dense", "capacity"),
+)
+def scan_and_compact_compressed(
+    dense_flat: jax.Array,
+    meta: jax.Array,
+    exc_target: jax.Array,
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,
+    init_state: jax.Array,
+    lengths: jax.Array,
+    emit_from: jax.Array,
+    dense_final_start: jax.Array,  # scalar int32
+    final_start: jax.Array,  # scalar int32
+    n_classes: int,
+    n_dense: int,
+    capacity: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Compressed-table analog of :func:`scan_and_compact`.  Finality is
+    the two-range predicate of the [dense nonfinal][dense final][sparse
+    nonfinal][sparse final] numbering (tables.CompressedAutomaton)."""
+    states, _ = scan_states_compressed(
+        dense_flat, meta, exc_target, byte_class, used_bytes, chunks,
+        init_state, n_classes, n_dense,
+    )
+    last_t = jnp.maximum(lengths - 1, 0)
+    carry = jnp.take_along_axis(states, last_t[:, None], axis=1)[:, 0]
+    carry = jnp.where(lengths > 0, carry, init_state)
+    B, L = states.shape
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    final = (states >= final_start) | (
+        (states < n_dense) & (states >= dense_final_start)
+    )
+    final &= (t_idx >= emit_from[:, None]) & (t_idx < lengths[:, None])
+    idx, n_matches = blocked_nonzero(final.reshape(-1), capacity)
+    safe = jnp.minimum(idx, B * L - 1)
+    match_state = jnp.where(
+        idx < INT32_MAX, jnp.take(states.reshape(-1), safe), -1
+    )
+    return idx, match_state, n_matches, carry
+
+
 def blocked_nonzero(flat: jax.Array, capacity: int, blk: int = 8):
     """Two-level fixed-capacity compaction of a sparse boolean vector.
 

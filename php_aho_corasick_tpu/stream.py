@@ -96,12 +96,11 @@ class StreamScanner:
         auto = self._m.automaton
         H = auto.max_len
         self._tail = (self._tail + data)[-H:] if H else b""
-        table = auto.table
         cls = auto.byte_class[np.frombuffer(self._tail, dtype=np.uint8)]
-        s = 0
-        for c in cls:
-            s = int(table[s, c])
-        self.state = s
+        s = np.zeros(1, dtype=np.int64)
+        for c in cls:  # table-format-agnostic walk (dense or compressed)
+            s = auto.lookup(s, c.reshape(1))
+        self.state = int(s[0])
         self.base_position += len(data)
 
     def reset(self) -> None:
