@@ -440,13 +440,40 @@ class Matcher:
         dummy = [b"\xff" * doc_bytes] * n_docs
         self.match_many(dummy, backend="device")
 
-    def iter_matches(self, haystack: Haystack) -> Iterator[dict]:
-        """Pull-style match iterator — capability parity with the reference's
+    def iter_matches(
+        self,
+        haystack: Haystack,
+        find_all: bool = True,
+        segment_bytes: int = 1 << 20,
+    ) -> Iterator[dict]:
+        """Pull-style match iterator — the reference's
         ``ac_trie_settext``/``ac_trie_findnext`` mode
         (``src/multifast/ahocorasick.c:253-281``, unused by its own PHP
-        layer).  Matches are computed by the batched device scan and yielded
-        lazily in scan order."""
-        yield from self.match(haystack)
+        layer).  Incremental: the haystack is consumed one ``segment_bytes``
+        slice at a time through the streaming DFA-state carry
+        (:meth:`stream`), so segment ``k+1`` is never scanned until the
+        consumer exhausts segment ``k``'s matches — a consumer that stops
+        early (the ``findnext`` loop's break) pays only for the bytes
+        scanned so far.  Record schema and order match :meth:`match`.
+
+        With ``find_all=False``, yields only the first end-position's match
+        group, then stops scanning (the callback-return abort,
+        ``php_ahocorasick.c:588``)."""
+        if not self._valid:
+            warn("match on a closed matcher")
+            raise StateError("matcher is closed")
+        data = _as_bytes(haystack)
+        seg = max(1, int(segment_bytes))
+        with self.stream() as st:
+            for off in range(0, len(data), seg):
+                recs = st.feed(data[off : off + seg])
+                if not find_all and recs:
+                    first_pos = recs[0]["pos"]
+                    for r in recs:
+                        if r["pos"] == first_pos:
+                            yield r
+                    return
+                yield from recs
 
     # ------------------------------------------------------------ teardown
 

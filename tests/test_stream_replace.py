@@ -149,3 +149,64 @@ def test_load_without_aux(tmp_path, backend):
     m2 = load_matcher(p, ScanConfig(backend=backend))
     rec = m2.match("ab")[0]
     assert rec["aux"] is None and "aux" in rec  # aux presence preserved
+
+# ------------------------------------------------------- find-next iterator
+
+def test_iter_matches_parity(backend):
+    rng = random.Random(11)
+    pats = ["ab", "bca", "aaab", "cab"]
+    m = Matcher(pats, ScanConfig(backend=backend))
+    text = "".join(rng.choice("abc") for _ in range(5000))
+    assert list(m.iter_matches(text, segment_bytes=257)) == m.match(text)
+
+
+def test_iter_matches_is_lazy(backend):
+    """Segment k+1 must not be scanned until segment k is exhausted."""
+    m = Matcher(["xy"], ScanConfig(backend=backend))
+    m.finalize()
+    calls = []
+    orig_feed = type(m.stream()).feed
+
+    def spy(self, data):
+        calls.append(len(data))
+        return orig_feed(self, data)
+
+    import php_aho_corasick_tpu.stream as stream_mod
+
+    old = stream_mod.StreamScanner.feed
+    stream_mod.StreamScanner.feed = spy
+    try:
+        text = "xy" + "a" * 100 + "xy" + "b" * 100
+        it = m.iter_matches(text, segment_bytes=50)
+        first = next(it)
+        assert first["value"] == "xy" and first["pos"] == 2
+        assert len(calls) == 1  # only the first segment was scanned
+        rest = list(it)
+        assert len(calls) == (len(text) + 49) // 50
+        assert [r["pos"] for r in rest] == [104]
+    finally:
+        stream_mod.StreamScanner.feed = old
+
+
+def test_iter_matches_find_all_false(backend):
+    m = Matcher(["ab", "b", "abc"], ScanConfig(backend=backend))
+    text = "zzabczzabc"
+    want = m.match(text, find_all=False)
+    got = list(m.iter_matches(text, find_all=False, segment_bytes=3))
+    assert got == want and len(got) > 0
+
+
+def test_iter_matches_cross_segment(backend):
+    m = Matcher(["abcdefgh"], ScanConfig(backend=backend))
+    text = "zz" + "abcdefgh" + "zz"
+    # segment boundary splits the pattern
+    got = list(m.iter_matches(text, segment_bytes=5))
+    assert [r["pos"] for r in got] == [10]
+
+
+def test_iter_matches_empty_and_closed(backend):
+    m = Matcher(["ab"], ScanConfig(backend=backend))
+    assert list(m.iter_matches("")) == []
+    m.close()
+    with pytest.raises(AhoError):
+        list(m.iter_matches("ab"))
