@@ -205,13 +205,35 @@ def filter_hits_sampled(
     # one probe per salt, alignment masks AND-combined: a true gram has
     # bit j set at every salted slot by construction, while stray bits
     # from fill must coincide across independent probes (rate^n_probes) —
-    # the lever that keeps million-pattern filters selective
-    w = None
-    for salt in salts:
-        h = (code.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
-        widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
-        probe = jnp.take(words, widx)  # [B, M] — THE gather
-        w = probe if w is None else (w & probe)
+    # the lever that keeps million-pattern filters selective.
+    #
+    # The gather runs as a lax.scan over NSLAB slabs of the grid: one
+    # monolithic [B*M] take measures ~111 M lookups/s on v5e while the
+    # same lookups chained through scan slabs reach ~132 M/s (probe5,
+    # docs/PERF_NOTES.md round-2) — the slab loop pipelines index
+    # computation with the gather unit instead of serializing behind one
+    # giant gather.
+    NSLAB = 8
+    n_grid = B * M
+    slab = -(-n_grid // NSLAB)
+    code_flat = code.reshape(-1)
+    if slab * NSLAB != n_grid:  # pad: padded cells are sliced off below
+        code_flat = jnp.concatenate(
+            [code_flat, jnp.zeros((slab * NSLAB - n_grid,), jnp.int32)]
+        )
+    code_slabs = code_flat.reshape(NSLAB, slab)
+
+    def _probe_slab(acc, c):
+        ws = None
+        for salt in salts:
+            h = (c.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+            widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+            probe = jnp.take(words, widx)  # THE gather
+            ws = probe if ws is None else (ws & probe)
+        return acc, ws
+
+    _, w_slabs = jax.lax.scan(_probe_slab, jnp.int32(0), code_slabs)
+    w = w_slabs.reshape(-1)[:n_grid].reshape(B, M)
     w = jnp.where(min_long_len > 0, w, 0)
 
     if shorts:
