@@ -75,9 +75,10 @@ def _own_pat(auto: CompiledAutomaton) -> np.ndarray:
     return own
 
 
-#: measured per-lookup cost of the XLA gather unit on TPU v5e (seconds);
+#: measured per-lookup cost of the XLA gather unit on TPU v5e (seconds),
+#: dispatch-amortized slab-scan rate (round-2 probe_filter_breakdown.py);
 #: see docs/PERF_NOTES.md — table-size independent (16 KiB - 64 MiB).
-_GATHER_S = 1 / 72e6
+_GATHER_S = 1 / 132e6
 #: blocked grid compaction, amortized per grid cell.
 _COMPACT_S = 5e-9
 #: amortized host-verification cost per candidate start (vectorized numpy
@@ -137,10 +138,13 @@ def _sampled_cost(
     stray = s * fill ** n_probes
     hit_rate = min(1.0, 1.1 * true_density + stray)
     win_len = s - 1 + max_len
-    if win_len <= 32:  # device window verify: per hit, one byte gather and
-        # one table gather per window position (direct per-byte fetches —
-        # the aligned-word path was removed; see verify_windows)
-        verify = _GATHER_S * (2 * win_len + 2) * hit_rate / s
+    if win_len <= 32:  # device window verify: per hit-capacity slot, one
+        # byte gather, one class gather, and one table gather per window
+        # position (measured 44 ms at H=65536, W=23 => ~3 gathers/step,
+        # probe_phaseb.py).  The kernel walks the full static capacity
+        # H = next_pow2(1.25 * hits), not n_hits — model that padding as
+        # an average 1.6x on the hit rate.
+        verify = _GATHER_S * (3 * win_len + 2) * 1.6 * hit_rate / s
     else:  # host expand + verify through the relay
         verify = 300e-9 * hit_rate / s
     cost = _GATHER_S * n_probes / s + _COMPACT_S / s + verify
