@@ -6,9 +6,9 @@
 # image off the matching libtpu stack instead and drop the CPU pin.
 #
 #   docker build -t php-ac-tpu .
+#   docker build --build-arg DEVEL_TOOLS=1 -t php-ac-tpu-dev .  # + gdb/valgrind
 #   docker run --rm php-ac-tpu                      # run the test suite
 #   docker run --rm php-ac-tpu python bench.py      # CPU-fallback bench
-#   docker run --rm -e DEVEL_TOOLS=1 ...            # (build-arg) adds gdb/valgrind
 
 FROM python:3.11-slim
 
@@ -30,8 +30,11 @@ COPY bench.py ./
 
 RUN pip install --no-cache-dir "jax[cpu]" numpy pytest && pip install --no-cache-dir -e .
 
-# build the native builder/oracle once at image build (ctypes .so)
-RUN make -C php_aho_corasick_tpu/native || true
+# build the native builder/oracle once at image build (ctypes .so).  A
+# failed native build is non-fatal (tests fall back to the pure-Python
+# builder) but must be LOUD: native-oracle test coverage silently degrades.
+RUN make -C php_aho_corasick_tpu/native \
+    || echo >&2 "WARNING: native build FAILED - tests will run WITHOUT the C++ builder/oracle (degraded coverage)"
 
 ENV JAX_PLATFORMS=cpu
 CMD ["python", "-m", "pytest", "tests/", "-q"]

@@ -359,8 +359,11 @@ class Matcher:
         """One launch group -> (global_doc_ids, ends, pids)."""
         sub = [docs[i] for i in group]
         total = sum(map(len, sub))
-        if total <= self.config.host_scan_threshold and (
-            self.config.backend in ("auto", "host")
+        # backend="host" forces the host path at ANY size (same contract as
+        # match_many); "auto" routes small groups to the host scalar scan
+        if self.config.backend == "host" or (
+            self.config.backend == "auto"
+            and total <= self.config.host_scan_threshold
         ):
             from .ops.matches import csr_expand
 
@@ -459,21 +462,28 @@ class Matcher:
         With ``find_all=False``, yields only the first end-position's match
         group, then stops scanning (the callback-return abort,
         ``php_ahocorasick.c:588``)."""
+        # validity check at CALL time (not first iteration): match()/stream()
+        # raise immediately on a closed matcher, so this must too — hence the
+        # non-generator wrapper returning an inner generator
         if not self._valid:
             warn("match on a closed matcher")
             raise StateError("matcher is closed")
         data = _as_bytes(haystack)
         seg = max(1, int(segment_bytes))
-        with self.stream() as st:
-            for off in range(0, len(data), seg):
-                recs = st.feed(data[off : off + seg])
-                if not find_all and recs:
-                    first_pos = recs[0]["pos"]
-                    for r in recs:
-                        if r["pos"] == first_pos:
-                            yield r
-                    return
-                yield from recs
+
+        def gen() -> Iterator[dict]:
+            with self.stream() as st:
+                for off in range(0, len(data), seg):
+                    recs = st.feed(data[off : off + seg])
+                    if not find_all and recs:
+                        first_pos = recs[0]["pos"]
+                        for r in recs:
+                            if r["pos"] == first_pos:
+                                yield r
+                        return
+                    yield from recs
+
+        return gen()
 
     # ------------------------------------------------------------ teardown
 

@@ -272,3 +272,36 @@ def test_match_arrays_host_path():
     arr = m.match_arrays([b"abxab"])
     assert list(arr["pos"]) == [2, 5]
     assert list(arr["pattern"]) == [0, 0]
+
+
+def test_match_arrays_host_forced_never_touches_device(monkeypatch):
+    """backend="host" must route to the host scan at ANY corpus size
+    (same contract as match_many) — a large group must NOT hit the
+    device path."""
+    from php_aho_corasick_tpu import Matcher, ScanConfig
+
+    # tiny threshold so the group is "large"; host backend still forced
+    m = Matcher(
+        [{"id": 0, "value": "ab"}],
+        ScanConfig(backend="host", host_scan_threshold=4),
+    )
+    m.finalize()
+
+    def boom(*a, **k):  # device entry for _group_arrays' large-group path
+        raise AssertionError("device scan reached despite backend='host'")
+
+    monkeypatch.setattr(m, "_scan_device_arrays", boom)
+    arr = m.match_arrays([b"abxab" * 100])
+    assert arr["doc"].shape[0] == 200
+
+
+def test_iter_matches_closed_matcher_raises_at_call_time():
+    import pytest
+
+    from php_aho_corasick_tpu import Matcher, StateError
+
+    m = Matcher(["ab"])
+    m.finalize()
+    m.close()
+    with pytest.raises(StateError):
+        m.iter_matches("ab")  # must raise NOW, not at first next()

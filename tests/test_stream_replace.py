@@ -160,32 +160,28 @@ def test_iter_matches_parity(backend):
     assert list(m.iter_matches(text, segment_bytes=257)) == m.match(text)
 
 
-def test_iter_matches_is_lazy(backend):
+def test_iter_matches_is_lazy(backend, monkeypatch):
     """Segment k+1 must not be scanned until segment k is exhausted."""
+    import php_aho_corasick_tpu.stream as stream_mod
+
     m = Matcher(["xy"], ScanConfig(backend=backend))
     m.finalize()
     calls = []
-    orig_feed = type(m.stream()).feed
+    orig_feed = stream_mod.StreamScanner.feed
 
     def spy(self, data):
         calls.append(len(data))
         return orig_feed(self, data)
 
-    import php_aho_corasick_tpu.stream as stream_mod
-
-    old = stream_mod.StreamScanner.feed
-    stream_mod.StreamScanner.feed = spy
-    try:
-        text = "xy" + "a" * 100 + "xy" + "b" * 100
-        it = m.iter_matches(text, segment_bytes=50)
-        first = next(it)
-        assert first["value"] == "xy" and first["pos"] == 2
-        assert len(calls) == 1  # only the first segment was scanned
-        rest = list(it)
-        assert len(calls) == (len(text) + 49) // 50
-        assert [r["pos"] for r in rest] == [104]
-    finally:
-        stream_mod.StreamScanner.feed = old
+    monkeypatch.setattr(stream_mod.StreamScanner, "feed", spy)
+    text = "xy" + "a" * 100 + "xy" + "b" * 100
+    it = m.iter_matches(text, segment_bytes=50)
+    first = next(it)
+    assert first["value"] == "xy" and first["pos"] == 2
+    assert len(calls) == 1  # only the first segment was scanned
+    rest = list(it)
+    assert len(calls) == (len(text) + 49) // 50
+    assert [r["pos"] for r in rest] == [104]
 
 
 def test_iter_matches_find_all_false(backend):
