@@ -104,8 +104,17 @@ class ScanConfig:
     #: with engine="auto", scans at least this large prefer the cascade.
     cascade_min_bytes: int = 1 << 20
 
-    #: bloom lookup implementation: "auto", "take", "matmul", "pallas".
+    #: bloom lookup implementation: "auto", "take", "matmul", "pallas",
+    #: "pallas_vmem".  "auto" selects the lane-partitioned VMEM Pallas
+    #: kernel ("pallas_vmem") on TPU whenever the planner could build one
+    #: (ops/filter_pallas.bloom_word_vmem — measured ~an order of magnitude
+    #: past the XLA gather wall, docs/PERF_NOTES.md round 3), else "take".
     bloom_impl: str = "auto"
+
+    #: byte budget for the lane-partitioned VMEM bloom table ([N, 128]
+    #: int32 => N = budget/512 rows).  32 MiB fits v5e VMEM alongside the
+    #: kernel's io blocks; the planner sizes down for small pattern sets.
+    cascade_vmem_bloom_bytes: int = 32 * 1024 * 1024
 
     #: cascade filter mode: "auto" (planner cost model), "sampled" (force
     #: the strided positional bloom), "anchored" (force per-position

@@ -55,6 +55,14 @@ class CascadePlan:
     sampled_words: Optional[np.ndarray] = None  # [2**log2_words] int32
     #: planner's estimated candidate starts per scanned byte (diagnostics)
     est_cand_density: float = 0.0
+    #: lane-partitioned VMEM bloom (Pallas fast path; None when the pattern
+    #: set saturates the VMEM-sized table): [2**vmem_log2_rows] int32 words
+    #: probed under len(vmem_salts) hashes (ops/filter_pallas.bloom_word_vmem)
+    vmem_log2_rows: int = 0
+    vmem_salts: Tuple[int, ...] = ()
+    vmem_words: Optional[np.ndarray] = None
+    #: planner's per-cell stray-hit estimate for the VMEM bloom (diagnostics)
+    vmem_est_stray: float = 0.0
 
 
 def _gram_code_u32(classes: Sequence[int], n_classes: int) -> int:
@@ -151,6 +159,49 @@ def _sampled_cost(
     return cost, hit_rate
 
 
+def _plan_vmem_bloom(
+    codes: np.ndarray,  # [n_longs * s] uint32 alignment gram codes
+    aligns: np.ndarray,  # [n_longs * s] int32 alignments
+    n_longs: int,
+    stride: int,
+    config: ScanConfig,
+) -> Optional[dict]:
+    """Build the lane-partitioned VMEM positional bloom when it stays
+    selective (ops/filter_pallas.bloom_word_vmem).
+
+    Layout: ``N = budget/512`` rows of int32 words (the device tiles each
+    word across 128 lanes); an entry ``(code, align j)`` sets bit ``j`` of
+    row ``hash_salt(code)`` under each of ``k`` salts; a probe ANDs the
+    ``k`` hashed rows.  Each alignment bit-plane is a classic k-hash bloom
+    of ``n_longs`` entries over ``N`` bits: per-plane false-positive
+    ``fp = fill^k`` with ``fill = 1 - exp(-k n/N)``; a grid cell strays
+    when ANY of its ``stride`` planes does (~``stride * fp``).  Returns
+    None when even the best ``k`` leaves the stray rate above ~2% of grid
+    cells — phase-B window verification cost is proportional to it."""
+    N = 1 << int(np.log2(max(config.cascade_vmem_bloom_bytes // 512, 1 << 12)))
+    log2_rows = int(np.log2(N))
+    ratio = N / max(n_longs, 1)
+    k = int(np.clip(round(0.693 * ratio), 2, 8))
+    fill = 1.0 - np.exp(-k * n_longs / N)
+    fp = fill ** k
+    stray = stride * fp
+    if stray > 0.02:
+        return None
+    salts = tuple((0x9E3779B9 * (2 * i + 1)) & 0xFFFFFFFF for i in range(k))
+    words = np.zeros(N, dtype=np.uint32)
+    bits = np.uint32(1) << aligns.astype(np.uint32)
+    for salt in salts:
+        h = (codes ^ np.uint32(salt)) * np.uint32(KNUTH)
+        rows = (h >> np.uint32(32 - log2_rows)).astype(np.int64)
+        np.bitwise_or.at(words, rows, bits)
+    return dict(
+        log2_rows=log2_rows,
+        salts=salts,
+        words=words.view(np.int32),
+        stray=float(stray),
+    )
+
+
 def _plan_sampled(
     longs: Sequence[bytes],
     auto: CompiledAutomaton,
@@ -235,9 +286,15 @@ def plan_cascade(
             )
             density = hit_rate / s
             if density <= config.cascade_max_cand_density:
+                vmem = _plan_vmem_bloom(codes, aligns, len(longs), s, config)
                 return CascadePlan(
                     True,
-                    f"sampled q={q} stride={s} probes={len(salts)}",
+                    f"sampled q={q} stride={s} probes={len(salts)}"
+                    + (
+                        f" vmem k={len(vmem['salts'])}"
+                        if vmem is not None
+                        else ""
+                    ),
                     q=q,
                     shorts=shorts,
                     min_long_len=min_long,
@@ -248,6 +305,10 @@ def plan_cascade(
                     sampled_salts=salts,
                     sampled_words=words.view(np.int32),
                     est_cand_density=density,
+                    vmem_log2_rows=vmem["log2_rows"] if vmem else 0,
+                    vmem_salts=vmem["salts"] if vmem else (),
+                    vmem_words=vmem["words"] if vmem else None,
+                    vmem_est_stray=vmem["stray"] if vmem else 0.0,
                 )
         if config.cascade_mode == "sampled":
             return CascadePlan(
@@ -362,6 +423,14 @@ class CascadeModel:
             }
             if p.mode == "sampled":
                 self._dev["sampled_words"] = jnp.asarray(p.sampled_words)
+                if p.vmem_words is not None:
+                    N = p.vmem_words.shape[0]
+                    # tile the bloom words across all 128 lanes once per
+                    # matcher: the kernel's axis-0 dynamic_gather needs the
+                    # word available in whichever lane a grid cell occupies
+                    self._dev["vmem_table"] = jnp.broadcast_to(
+                        jnp.asarray(p.vmem_words)[:, None], (N, 128)
+                    )
             else:
                 self._dev["bloom_words"] = jnp.asarray(p.bloom_words)
         return self._dev
@@ -369,6 +438,14 @@ class CascadeModel:
     def bloom_impl(self) -> str:
         impl = self.config.bloom_impl
         if impl == "auto":
+            if self.plan.vmem_words is not None:
+                import jax
+
+                if jax.default_backend() == "tpu":
+                    # measured round 3: the lane-partitioned VMEM kernel
+                    # clears the ~132 M lookups/s XLA gather wall by ~an
+                    # order of magnitude (docs/PERF_NOTES.md)
+                    return "pallas_vmem"
             return "take"  # measured per-backend default; PERF_NOTES.md
         if impl == "matmul":
             import jax
@@ -377,17 +454,37 @@ class CascadeModel:
                 # measured: the one-hot f32 matmul lookup is INEXACT on the
                 # v5e MXU (bloom false negatives = missed matches) — refuse
                 return "take"
+        if impl == "pallas_vmem" and self.plan.vmem_words is None:
+            return "take"  # planner found no selective VMEM-sized bloom
         return impl
 
     def scan_hits_sampled(self, chunks, lengths, capacity: int):
         """One launch of the grid-domain sampled filter (ops/filter_jax.py
-        filter_hits_sampled)."""
+        filter_hits_sampled / filter_hits_sampled_vmem per bloom_impl)."""
+        import jax
         import jax.numpy as jnp
 
-        from ..ops.filter_jax import filter_hits_sampled
+        from ..ops.filter_jax import (
+            filter_hits_sampled,
+            filter_hits_sampled_vmem,
+        )
 
         dev = self.device_arrays
         p = self.plan
+        if self.bloom_impl() == "pallas_vmem":
+            return filter_hits_sampled_vmem(
+                dev["vmem_table"],
+                jnp.asarray(chunks),
+                jnp.asarray(lengths),
+                dev["min_long_len"],
+                q=p.q,
+                stride=p.stride,
+                log2_rows=p.vmem_log2_rows,
+                salts=p.vmem_salts,
+                shorts=p.shorts,
+                capacity=capacity,
+                interpret=jax.default_backend() != "tpu",
+            )
         return filter_hits_sampled(
             dev["sampled_words"],
             jnp.asarray(chunks),

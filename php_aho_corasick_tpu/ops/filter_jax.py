@@ -261,6 +261,64 @@ def filter_hits_sampled(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "q", "stride", "log2_rows", "salts", "shorts", "capacity",
+        "interpret",
+    ),
+)
+def filter_hits_sampled_vmem(
+    table: jax.Array,  # [2**log2_rows, 128] int32 lane-partitioned bloom
+    chunks: jax.Array,  # [B, L] uint8
+    lengths: jax.Array,  # [B] int32
+    min_long_len: jax.Array,  # scalar int32 (0 disables the long path)
+    q: int,
+    stride: int,
+    log2_rows: int,
+    salts: Tuple[int, ...],
+    shorts: Tuple[bytes, ...],
+    capacity: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Strided-sampled filter, Pallas VMEM-bloom edition.
+
+    Same contract and downstream machinery as :func:`filter_hits_sampled`
+    (grid-domain compaction, host expansion of alignment/short words), but
+    the positional-bloom probe runs in the lane-partitioned VMEM kernel
+    (ops/filter_pallas.bloom_word_vmem): ``k = len(salts)`` vector gathers
+    per 128-lane row of grid cells instead of one serialized XLA
+    scalar-unit gather per cell — the round-2 filter stage sat AT the
+    measured ~132 M lookups/s gather wall (docs/PERF_NOTES.md)."""
+    from .filter_pallas import bloom_word_vmem
+
+    B, L = chunks.shape
+    M = -(-L // stride)
+    code = sampled_gram_codes(chunks, q, stride)
+    w = bloom_word_vmem(table, code, salts, log2_rows, interpret=interpret)
+    w = jnp.where(min_long_len > 0, w, 0)
+
+    if shorts:
+        sm = short_pattern_mask(chunks, shorts)
+        sm &= (
+            jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+            < lengths[:, None]
+        )
+        pad = jnp.zeros((B, M * stride - L), jnp.bool_)
+        cell = jnp.concatenate([sm, pad], 1).reshape(B, M, stride)
+        weights = (jnp.int32(1) << jnp.arange(stride, dtype=jnp.int32))
+        sw = jnp.sum(cell * weights[None, None, :], axis=2, dtype=jnp.int32)
+    else:
+        sw = jnp.zeros((B, M), jnp.int32)
+
+    hit = (w | sw) != 0
+    idx, n_hits = blocked_nonzero(hit.reshape(-1), capacity)
+    safe = jnp.minimum(idx, B * M - 1)
+    lw = jnp.where(idx < INT32_MAX, jnp.take(w.reshape(-1), safe), 0)
+    swo = jnp.where(idx < INT32_MAX, jnp.take(sw.reshape(-1), safe), 0)
+    return idx, lw, swo, n_hits
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("n_classes", "stride", "win_len", "capacity", "n_hits"),
 )
 def verify_windows(

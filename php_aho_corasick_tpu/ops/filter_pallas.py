@@ -1,15 +1,29 @@
-"""Pallas bloom-membership kernel for the cascade engine.
+"""Pallas bloom-membership kernels for the cascade engine.
 
-TPU v5e's only fast gather is the Mosaic lane-local ``take_along_axis`` on
-same-shape [8, 128] tiles.  A bloom word table of ``W`` int32 words is laid
-out as ``[W/128, 128]`` banks; each slot lookup decomposes into
-``(bank, lane, bit)`` and the kernel resolves the bank dimension with an
-unrolled gather+select over banks — pure VPU work, no scalar-gather unit.
+Two kernel families, by Mosaic gather shape (docs/PERF_NOTES.md):
 
-Cost per element is ~``n_banks`` vector ops, so this pays off when the
-bloom is small (2^15..2^17 bits -> 8..32 banks) — exactly the cascade's
-regime.  The XLA fallbacks (``take``/one-hot ``matmul``) live in
-filter_jax.py; this kernel is selected via ``ScanConfig.bloom_impl``.
+**Lane-partitioned VMEM bloom** (``bloom_word_vmem`` — the round-3
+production filter).  Mosaic's ``take_along_axis(table, rows, axis=0)``
+(``tpu.dynamic_gather``) gathers along the *sublane* axis: each of the
+128 lanes independently picks one of the table's ``N`` rows.  Lay the
+positional alignment bloom out as ``[N, 128]`` with every column holding
+the same ``N``-word bloom, and one probe of 128·R grid cells is ONE
+vector gather — no scalar-gather-unit involvement, no per-bank select
+chain.  ``k`` salted probes AND together in-kernel; insertion sets each
+entry's alignment bit under all ``k`` hashes (classic k-hash bloom over
+word rows), so per-alignment false-positive = fill^k with
+``fill = 1 - exp(-k·n/N)``.  This replaces the XLA ``jnp.take`` bloom
+gather that was AT the measured ~132 M lookups/s wall (127 of the 205 ms
+headline pass, round 2).
+
+**Bank-select** (``bloom_hit_pallas`` — kept for per-*bit* membership
+lookups on small blooms).  Decomposes a slot into ``(bank, lane, bit)``
+and resolves the bank dimension with an unrolled gather+select over
+``[8, 128]`` tiles: ~``n_banks`` vector ops per element, viable only for
+2^15..2^17-bit blooms.
+
+The XLA fallbacks (``take``/one-hot ``matmul``) live in filter_jax.py;
+kernels are selected via ``ScanConfig.bloom_impl`` + the cascade planner.
 """
 
 from __future__ import annotations
@@ -21,8 +35,69 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .filter_jax import KNUTH
+
 BLOCK_R = 256  # rows of 128 lanes per grid step
 SUB = 8  # Mosaic gather tile height
+
+
+def _vmem_kernel(salts, log2_rows, table_ref, codes_ref, out_ref):
+    c = codes_ref[...]
+    shift = jnp.uint32(32 - log2_rows)
+    acc = None
+    for salt in salts:
+        h = (c.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+        rows = (h >> shift).astype(jnp.int32)
+        got = jnp.take_along_axis(table_ref[...], rows, axis=0)
+        acc = got if acc is None else (acc & got)
+    out_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("salts", "log2_rows", "interpret")
+)
+def bloom_word_vmem(
+    table: jax.Array,  # [N, 128] int32, all columns identical, N = 2**log2_rows
+    codes: jax.Array,  # [...] int32 gram codes
+    salts: tuple,  # k probe salts
+    log2_rows: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """AND over ``salts`` of ``table[hash_salt(code), lane]`` per code.
+
+    Returns the probed positional word for every code (same shape as
+    ``codes``); a zero word means "no alignment of any long pattern can
+    produce this gram" — the caller's grid-cell hit test."""
+    shape = codes.shape
+    flat = codes.reshape(-1)
+    n = flat.shape[0]
+    N = table.shape[0]
+    assert N == 1 << log2_rows and table.shape[1] == 128
+    # block rows per grid step: same sublane count as the table keeps the
+    # dynamic_gather operands same-shape (the conservatively-supported
+    # Mosaic form); cap the padding waste for small inputs
+    cols = 128
+    rows = -(-n // cols)
+    block_r = min(N, 1 << 12)
+    rows_pad = -(-rows // block_r) * block_r
+    padded = jnp.zeros((rows_pad * cols,), jnp.int32).at[:n].set(flat)
+    grid_codes = padded.reshape(rows_pad, cols)
+
+    out = pl.pallas_call(
+        functools.partial(_vmem_kernel, salts, log2_rows),
+        grid=(rows_pad // block_r,),
+        in_specs=[
+            pl.BlockSpec((N, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_r, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, cols), jnp.int32),
+        interpret=interpret,
+    )(table, grid_codes)
+    return out.reshape(-1)[:n].reshape(shape)
 
 
 def _kernel(n_banks: int, bloom_ref, slots_ref, out_ref):

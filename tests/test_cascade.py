@@ -459,3 +459,165 @@ def test_sampled_matches_anchored_engine():
     sam = run_cascade(patterns, text, cascade_mode="sampled")
     anc = run_cascade(patterns, text, cascade_mode="anchored")
     assert sam == anc == brute_force(patterns, text)
+
+
+# ------------------------------------------------- VMEM pallas bloom (r3)
+
+def test_vmem_bloom_word_matches_host():
+    """Kernel-level parity: bloom_word_vmem (interpret) vs host hashing."""
+    import jax.numpy as jnp
+    from php_aho_corasick_tpu.ops.filter_jax import KNUTH
+    from php_aho_corasick_tpu.ops.filter_pallas import bloom_word_vmem
+
+    rng = np.random.default_rng(3)
+    log2_rows = 10
+    N = 1 << log2_rows
+    words = rng.integers(-(2**31), 2**31, N, dtype=np.int64).astype(np.int32)
+    codes = rng.integers(-(2**31), 2**31, 3000, dtype=np.int64).astype(
+        np.int32
+    )
+    salts = tuple((0x9E3779B9 * (2 * i + 1)) & 0xFFFFFFFF for i in range(4))
+    table = jnp.broadcast_to(jnp.asarray(words)[:, None], (N, 128))
+    got = np.asarray(
+        bloom_word_vmem(table, jnp.asarray(codes), salts, log2_rows,
+                        interpret=True)
+    )
+    acc = None
+    for salt in salts:
+        h = (codes.astype(np.uint64) ^ salt) * KNUTH & 0xFFFFFFFF
+        w = words[(h >> (32 - log2_rows)).astype(np.int64)]
+        acc = w if acc is None else acc & w
+    np.testing.assert_array_equal(got, acc)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_sampled_vmem_parity_fuzz(seed):
+    """Full-pipeline parity with the lane-partitioned VMEM bloom forced
+    (interpret mode off-TPU); mixed shorts + planted long occurrences."""
+    rng = random.Random(4200 + seed)
+    alphabet = b"abcdef"
+    patterns = list({
+        bytes(rng.choice(alphabet) for _ in range(rng.randint(9, 20)))
+        for _ in range(rng.randint(2, 50))
+    })
+    if seed % 2:
+        patterns += [b"xy", b"q"]
+    patterns = list(dict.fromkeys(patterns))
+    text = bytearray(rng.choice(alphabet) for _ in range(5000))
+    for _ in range(15):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    got = run_cascade(
+        patterns, text, chunk_len=512, match_capacity=64,
+        cascade_mode="sampled", bloom_impl="pallas_vmem",
+        cascade_vmem_bloom_bytes=1 << 21,  # N=4096 keeps interpret fast
+    )
+    assert got == brute_force(patterns, text)
+
+
+def test_vmem_plan_attached_and_selective():
+    rng = random.Random(5)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(64)
+    })
+    cfg = ScanConfig(cascade_mode="sampled",
+                     cascade_vmem_bloom_bytes=1 << 21)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    m.finalize()
+    plan = plan_cascade([p.value for p in m._patterns], m.automaton, cfg)
+    assert plan.vmem_words is not None
+    assert plan.vmem_words.shape[0] == 4096
+    assert 2 <= len(plan.vmem_salts) <= 8
+    assert plan.vmem_est_stray <= 0.02
+    # every pattern's every alignment gram must probe positive (soundness)
+    from php_aho_corasick_tpu.models.cascade import _alignment_gram_codes
+    from php_aho_corasick_tpu.ops.filter_jax import KNUTH
+
+    longs = [p.value for p in m._patterns]
+    codes, aligns = _alignment_gram_codes(longs, plan.q, plan.stride)
+    acc = None
+    words = plan.vmem_words.view(np.uint32)
+    for salt in plan.vmem_salts:
+        h = (codes ^ np.uint32(salt)) * np.uint32(KNUTH)
+        w = words[(h >> np.uint32(32 - plan.vmem_log2_rows)).astype(np.int64)]
+        acc = w if acc is None else acc & w
+    assert ((acc >> aligns.astype(np.uint32)) & 1).all()
+
+
+def test_vmem_plan_rejected_when_saturated():
+    """A pattern set that would saturate the VMEM-sized bloom must not
+    attach one (falls back to the HBM take path)."""
+    from php_aho_corasick_tpu.models.cascade import _plan_vmem_bloom
+
+    rng = np.random.default_rng(0)
+    n_longs = 1 << 14
+    codes = rng.integers(0, 2**32, n_longs * 9, dtype=np.uint64).astype(
+        np.uint32
+    )
+    aligns = np.tile(np.arange(9, dtype=np.int32), n_longs)
+    cfg = ScanConfig(cascade_vmem_bloom_bytes=1 << 21)  # N=4096 << n_longs
+    assert _plan_vmem_bloom(codes, aligns, n_longs, 9, cfg) is None
+
+
+def test_bloom_impl_vmem_falls_back_without_plan():
+    rng = random.Random(6)
+    patterns = [bytes(rng.choice(b"abcdef") for _ in range(16))
+                for _ in range(8)]
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     cascade_mode="sampled", bloom_impl="pallas_vmem")
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    m.finalize()
+    cm = m.cascade_model
+    # force a plan with no vmem table
+    object.__setattr__(cm.plan, "vmem_words", None)
+    assert cm.bloom_impl() == "take"
+
+
+def test_sampled_vmem_launch_device_pipelined():
+    """The speculative filter->verify chain (bench steady state) through
+    the VMEM kernel: several launches in flight, one trailing fetch."""
+    import jax.numpy as jnp
+    from php_aho_corasick_tpu.ops.matches import pack_documents
+
+    rng = random.Random(77)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(32)
+    })
+    docs = []
+    for _ in range(4):
+        d = bytearray(rng.choice(b"abcdef") for _ in range(4000))
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(d) - len(p))
+        d[pos : pos + len(p)] = p
+        docs.append(bytes(d))
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     cascade_mode="sampled", bloom_impl="pallas_vmem",
+                     cascade_vmem_bloom_bytes=1 << 21, chunk_len=512)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    m.finalize()
+    cm = m.cascade_model
+    assert cm.bloom_impl() == "pallas_vmem"
+    halo = m.automaton.max_len - 1
+    packed = pack_documents(docs, cfg.chunk_len, halo)
+    chunks = jnp.asarray(packed.chunks)
+    lengths = jnp.asarray(packed.lengths)
+    cap_a, cap_b = 256, 256
+    scalars = []
+    cells = []
+    for _ in range(3):
+        c, n_d, nf_d = cm.launch_device(chunks, lengths, cap_a, cap_b)
+        scalars.extend((n_d, nf_d))
+        cells.append(c)
+    flat = np.asarray(jnp.stack(scalars))
+    assert (flat[0::2] <= cap_a).all() and (flat[1::2] <= cap_b).all()
+    docs_a, ends_a, pids_a = cm.emit_windows_arrays(
+        packed, np.asarray(cells[-1]), int(flat[-1])
+    )
+    want = []
+    for di, d in enumerate(docs):
+        for pos, pid in brute_force(patterns, d):
+            want.append((di, pos, pid))
+    got = list(zip(docs_a.tolist(), ends_a.tolist(), pids_a.tolist()))
+    assert got == want
