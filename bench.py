@@ -160,29 +160,36 @@ def main() -> None:
             # warm-up launch: force its *completion* (not just dispatch)
             # before the timer starts, else its device execution queues
             # ahead of the timed reps and inflates batch_dt by ~1/reps
-            _wc, _wn, _wnf = cm.launch_device(chunks, lengths, cap_a, cap_b)
-            np.asarray(jnp.stack([_wn, _wnf]))
+            _wc, _wn, _wnf, _wnc = cm.launch_device(
+                chunks, lengths, cap_a, cap_b
+            )
+            np.asarray(jnp.stack([_wn, _wnf, _wnc]))
             t0 = time.time()
             scalars = []
             cells_last = None
             for _ in range(reps):
-                cells_last, n_d, nf_d = cm.launch_device(
+                cells_last, n_d, nf_d, nc_d = cm.launch_device(
                     chunks, lengths, cap_a, cap_b
                 )
-                scalars.extend((n_d, nf_d))
+                scalars.extend((n_d, nf_d, nc_d))
             flat = np.asarray(jnp.stack(scalars))  # single sync fetch
-            ns, nfs = flat[0::2], flat[1::2]
+            ns, nfs, ncs = flat[0::3], flat[1::3], flat[2::3]
             if nfs.max() > 0:
                 # matched workloads must pay the per-batch cells fetch the
                 # non-pipelined path pays too (methodology parity; in the
                 # match-free case only the two scalars leave the device)
                 np.asarray(cells_last)
             batch_dt = (time.time() - t0) / reps
-            if ns.max() <= cap_a and nfs.max() <= cap_b:
+            if (
+                ns.max() <= cap_a
+                and nfs.max() <= cap_b
+                and ncs.max() <= cm._cap_coarse
+            ):
                 dt = batch_dt
                 break
             cap_a = max(cap_a, 2 * int(ns.max()))
             cap_b = max(cap_b, 2 * int(nfs.max()))
+            cm._cap_coarse = max(cm._cap_coarse, 2 * int(ncs.max()))
     if dt is None:
         times = []
         for _ in range(reps):

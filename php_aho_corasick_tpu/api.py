@@ -655,14 +655,7 @@ class Matcher:
         auto = self._auto
         halo = max(auto.max_len - 1, 0)
         n_dev = len(jax.devices())
-        use_mesh = (
-            self.config.auto_shard
-            and n_dev > 1
-            # sharded kernels currently gather from the dense table; the
-            # compressed format scans single-device (rows are independent,
-            # so callers can still shard corpora across processes)
-            and self.table_format == "dense"
-        )
+        use_mesh = self.config.auto_shard and n_dev > 1
         batch_pad = (
             math.lcm(self.config.batch_pad, n_dev)
             if use_mesh
@@ -705,7 +698,13 @@ class Matcher:
             if use_mesh:
                 # (tile falls back to the sharded dense kernel for now)
                 idx_np, sts_np, n = self._run_sharded(
-                    packed, capacity, engine="dfa"
+                    packed,
+                    capacity,
+                    engine=(
+                        "compressed"
+                        if self.table_format == "compressed"
+                        else "dfa"
+                    ),
                 )
             else:
                 model = (
@@ -792,7 +791,10 @@ class Matcher:
                 state["nfs"] = np.asarray(nfs)
                 # pmax scalars decide the retry (replicated, one fetch)
                 stats = np.asarray(jnp.stack([gh, gf]))
-                return cells, int(stats[0, 1]), int(stats[1, 1])
+                n_hits = int(stats[0, 1])
+                # sharded path runs the single-stage take filter: coarse
+                # count == hit count (see CascadeModel.adaptive_chain)
+                return cells, n_hits, int(stats[1, 1]), n_hits
 
             cells, _ = cm.adaptive_chain(launch)
             cells2d = np.asarray(cells)
@@ -855,6 +857,7 @@ class Matcher:
         from .parallel.mesh import data_mesh
         from .parallel.shard_scan import (
             sharded_scan_compact,
+            sharded_scan_compact_compressed,
             sharded_scan_compact_kgram,
         )
 
@@ -872,6 +875,13 @@ class Matcher:
                 "byte_class": auto.byte_class.astype(np.int32),
                 "used_bytes": auto.used_bytes,
             }
+        elif engine == "compressed":
+            # replicate the compressed model's device dict (dense bank +
+            # exception arrays) across the mesh
+            host = {
+                k: np.asarray(v)
+                for k, v in self._model.device_arrays.items()
+            }
         else:
             host = {
                 "table_flat": np.ascontiguousarray(auto.table).reshape(-1),
@@ -879,13 +889,22 @@ class Matcher:
                 "used_bytes": auto.used_bytes,
             }
         dev = {k: jax.device_put(jnp.asarray(v), rep) for k, v in host.items()}
-        dev["final_start"] = jax.device_put(jnp.int32(auto.final_start), rep)
+        if engine != "compressed":
+            dev["final_start"] = jax.device_put(
+                jnp.int32(auto.final_start), rep
+            )
         collect = jax.process_count() > 1
         while True:
             if engine == "kgram":
                 idx, aux, counts, gstats, _ = sharded_scan_compact_kgram(
                     mesh, dev, chunks, init, lengths, emit_from,
                     n_classes=auto.n_classes, k=self.kgram_model.k,
+                    capacity=capacity, collect=collect,
+                )
+            elif engine == "compressed":
+                idx, aux, counts, gstats, _ = sharded_scan_compact_compressed(
+                    mesh, dev, chunks, init, lengths, emit_from,
+                    n_classes=auto.n_classes, n_dense=auto.n_dense,
                     capacity=capacity, collect=collect,
                 )
             else:

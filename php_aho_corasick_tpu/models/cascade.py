@@ -159,6 +159,16 @@ def _sampled_cost(
     return cost, hit_rate
 
 
+#: coarse VMEM-bloom stray ceiling: survivors per grid cell the XLA fine
+#: stage re-probes (per-survivor cost ~3 gathers; at 0.01 the fine machinery
+#: stays an order of magnitude under the replaced dense gather pass)
+_VMEM_MAX_STRAY = 0.01
+#: hard cap on total bank-select steps per 1024-code tile (= k * N / 128):
+#: each step is ~4 VPU ops, so the cap bounds kernel cost well under the
+#: ~132 M lookups/s XLA gather wall it replaces
+_VMEM_MAX_BANK_STEPS = 768
+
+
 def _plan_vmem_bloom(
     codes: np.ndarray,  # [n_longs * s] uint32 alignment gram codes
     aligns: np.ndarray,  # [n_longs * s] int32 alignments
@@ -166,34 +176,53 @@ def _plan_vmem_bloom(
     stride: int,
     config: ScanConfig,
 ) -> Optional[dict]:
-    """Build the lane-partitioned VMEM positional bloom when it stays
+    """Build the bank-select VMEM positional blooms when they stay
     selective (ops/filter_pallas.bloom_word_vmem).
 
-    Layout: ``N = budget/512`` rows of int32 words (the device tiles each
-    word across 128 lanes); an entry ``(code, align j)`` sets bit ``j`` of
-    row ``hash_salt(code)`` under each of ``k`` salts; a probe ANDs the
-    ``k`` hashed rows.  Each alignment bit-plane is a classic k-hash bloom
-    of ``n_longs`` entries over ``N`` bits: per-plane false-positive
-    ``fp = fill^k`` with ``fill = 1 - exp(-k n/N)``; a grid cell strays
-    when ANY of its ``stride`` planes does (~``stride * fp``).  Returns
-    None when even the best ``k`` leaves the stray rate above ~2% of grid
-    cells — phase-B window verification cost is proportional to it."""
-    N = 1 << int(np.log2(max(config.cascade_vmem_bloom_bytes // 512, 1 << 12)))
-    log2_rows = int(np.log2(N))
-    ratio = N / max(n_longs, 1)
-    k = int(np.clip(round(0.693 * ratio), 2, 8))
-    fill = 1.0 - np.exp(-k * n_longs / N)
-    fp = fill ** k
-    stray = stride * fp
-    if stray > 0.02:
+    Layout: ``k`` independent probe tables of ``N = 2**log2_rows`` int32
+    words each, stacked ``[k * N/128, 128]``; an entry ``(code, align j)``
+    sets bit ``j`` of word ``hash_salt_p(code)`` in every probe table; a
+    query ANDs the ``k`` probed words.  Per alignment bit-plane each table
+    is a 1-hash bloom of ``n_longs`` entries over ``N`` bits —
+    false-positive ``fp = fill^k`` with ``fill = 1 - exp(-n/N)``; a grid
+    cell strays when ANY of its ``stride`` planes does (~``stride * fp``).
+
+    The kernel's cost is ``k * N/128`` bank-select steps per 1024 codes,
+    so the planner minimizes ``k * N`` subject to the stray bound (the XLA
+    fine stage re-probes survivors against the big HBM bloom, so the bound
+    only caps intermediate compaction + fine-gather work, not
+    correctness).  Returns None when no (N, k) within the VMEM budget
+    meets the bound (the take path stays in charge)."""
+    budget_words = max(config.cascade_vmem_bloom_bytes // 4, 1 << 12)
+    best = None
+    for log2_rows in range(12, 21):
+        N = 1 << log2_rows
+        fill = 1.0 - np.exp(-n_longs / N)
+        for k in range(2, 9):
+            if k * N > budget_words or k * N // 128 > _VMEM_MAX_BANK_STEPS:
+                continue
+            stray = stride * fill**k
+            if stray > _VMEM_MAX_STRAY:
+                continue
+            cost = k * N
+            if best is None or cost < best[0] or (
+                cost == best[0] and stray < best[3]
+            ):
+                best = (cost, log2_rows, k, stray)
+            break  # larger k at this N only costs more
+    if best is None:
         return None
+    _, log2_rows, k, stray = best
+    N = 1 << log2_rows
     salts = tuple((0x9E3779B9 * (2 * i + 1)) & 0xFFFFFFFF for i in range(k))
-    words = np.zeros(N, dtype=np.uint32)
+    n_banks = N // 128
+    words = np.zeros((k * n_banks, 128), dtype=np.uint32)
     bits = np.uint32(1) << aligns.astype(np.uint32)
-    for salt in salts:
+    for p, salt in enumerate(salts):
         h = (codes ^ np.uint32(salt)) * np.uint32(KNUTH)
         rows = (h >> np.uint32(32 - log2_rows)).astype(np.int64)
-        np.bitwise_or.at(words, rows, bits)
+        flat = words.reshape(-1)
+        np.bitwise_or.at(flat, p * N + rows, bits)
     return dict(
         log2_rows=log2_rows,
         salts=salts,
@@ -374,6 +403,9 @@ class CascadeModel:
         #: (learned from each launch's observed counts; may shrink)
         self._cap_hits = 4096
         self._cap_flagged = 256
+        #: stage-1 compaction capacity of the two-stage VMEM filter
+        #: (coarse survivors; planner bounds the rate at ~1% of cells)
+        self._cap_coarse = 1 << 14
 
     @property
     def learned_caps(self) -> Tuple[int, int]:
@@ -424,13 +456,9 @@ class CascadeModel:
             if p.mode == "sampled":
                 self._dev["sampled_words"] = jnp.asarray(p.sampled_words)
                 if p.vmem_words is not None:
-                    N = p.vmem_words.shape[0]
-                    # tile the bloom words across all 128 lanes once per
-                    # matcher: the kernel's axis-0 dynamic_gather needs the
-                    # word available in whichever lane a grid cell occupies
-                    self._dev["vmem_table"] = jnp.broadcast_to(
-                        jnp.asarray(p.vmem_words)[:, None], (N, 128)
-                    )
+                    # [k * n_banks, 128] per-probe bank tables, VMEM-resident
+                    # inside the kernel (ops/filter_pallas.bloom_word_vmem)
+                    self._dev["vmem_table"] = jnp.asarray(p.vmem_words)
             else:
                 self._dev["bloom_words"] = jnp.asarray(p.bloom_words)
         return self._dev
@@ -458,9 +486,14 @@ class CascadeModel:
             return "take"  # planner found no selective VMEM-sized bloom
         return impl
 
-    def scan_hits_sampled(self, chunks, lengths, capacity: int):
-        """One launch of the grid-domain sampled filter (ops/filter_jax.py
-        filter_hits_sampled / filter_hits_sampled_vmem per bloom_impl)."""
+    def scan_hits_sampled(
+        self, chunks, lengths, capacity: int, cap_coarse: Optional[int] = None
+    ):
+        """One launch of the grid-domain sampled filter.  Returns
+        ``(grid_idx, long_word, short_word, n_hits, n_coarse)`` — for the
+        single-stage take path ``n_coarse == n_hits``; for the two-stage
+        VMEM path ``n_coarse`` is the stage-1 survivor count whose own
+        capacity (``cap_coarse``) must also not overflow."""
         import jax
         import jax.numpy as jnp
 
@@ -474,6 +507,7 @@ class CascadeModel:
         if self.bloom_impl() == "pallas_vmem":
             return filter_hits_sampled_vmem(
                 dev["vmem_table"],
+                dev["sampled_words"],
                 jnp.asarray(chunks),
                 jnp.asarray(lengths),
                 dev["min_long_len"],
@@ -481,11 +515,14 @@ class CascadeModel:
                 stride=p.stride,
                 log2_rows=p.vmem_log2_rows,
                 salts=p.vmem_salts,
+                log2_words=p.log2_words,
+                fine_salts=p.sampled_salts,
                 shorts=p.shorts,
                 capacity=capacity,
+                cap_coarse=cap_coarse or self._cap_coarse,
                 interpret=jax.default_backend() != "tpu",
             )
-        return filter_hits_sampled(
+        idx, lw, sw, n = filter_hits_sampled(
             dev["sampled_words"],
             jnp.asarray(chunks),
             jnp.asarray(lengths),
@@ -497,6 +534,7 @@ class CascadeModel:
             shorts=p.shorts,
             capacity=capacity,
         )
+        return idx, lw, sw, n, n
 
     def expand_hits(
         self,
@@ -542,19 +580,23 @@ class CascadeModel:
         per-dispatch round-trips cost ~25 ms on a tunneled TPU grant
         (docs/PERF_NOTES.md), which otherwise dwarfs the kernels.  Phase-A
         capacity adapts (up AND down) to the last observed hit count;
-        overflowing either phase retries with that capacity doubled.
-        ``launch(cap_a, cap_b)`` must return ``(cells, n_hits,
-        n_flagged)`` with host ints for the counts."""
+        overflowing any stage retries with that capacity doubled.
+        ``launch(cap_a, cap_b)`` must return ``(cells, n_hits, n_flagged,
+        n_coarse)`` with host ints for the counts (``n_coarse`` checks the
+        VMEM filter's stage-1 capacity, ``self._cap_coarse``; the take
+        path reports ``n_coarse == n_hits``)."""
         cap_a = max(self._cap_hits, 256)
         cap_b = self._cap_flagged
         while True:
-            cells, n, nf = launch(cap_a, cap_b)
-            if n <= cap_a and nf <= cap_b:
+            cells, n, nf, nc = launch(cap_a, cap_b)
+            if n <= cap_a and nf <= cap_b and nc <= self._cap_coarse:
                 break
             if n > cap_a:
                 cap_a = _next_pow2(n)
             if nf > cap_b:
                 cap_b = _next_pow2(nf)
+            if nc > self._cap_coarse:
+                self._cap_coarse = _next_pow2(nc)
         self._cap_hits = max(256, _next_pow2(n + n // 4))
         self._cap_flagged = cap_b
         return cells, nf
@@ -562,16 +604,17 @@ class CascadeModel:
     def launch_device(self, chunks_d, lengths_d, cap_a, cap_b):
         """One speculative filter→verify chain entirely on device.
 
-        Returns ``(cells, n_d, nf_d)`` as *device* values with no host
-        fetch, so callers can keep several chains in flight and pay the
-        ~25 ms tunnel round trip once per batch instead of once per launch
-        (docs/PERF_NOTES.md).  ``n_d``/``nf_d`` must be checked against
-        ``cap_a``/``cap_b`` after fetching — overflow means retry bigger."""
+        Returns ``(cells, n_d, nf_d, nc_d)`` as *device* values with no
+        host fetch, so callers can keep several chains in flight and pay
+        the ~25 ms tunnel round trip once per batch instead of once per
+        launch (docs/PERF_NOTES.md).  The counts must be checked against
+        ``cap_a``/``cap_b``/``self._cap_coarse`` after fetching — overflow
+        means retry bigger."""
         from ..ops.filter_jax import verify_windows
 
         dd = self.dense_model.device_arrays
         dev = self.device_arrays
-        idx, _lw, _sw, n_d = self.scan_hits_sampled(
+        idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
             chunks_d, lengths_d, cap_a
         )
         cells, nf_d = verify_windows(
@@ -588,7 +631,7 @@ class CascadeModel:
             capacity=cap_b,
             n_hits=cap_a,
         )
-        return cells, n_d, nf_d
+        return cells, n_d, nf_d, nc_d
 
     def run_arrays(self, packed: PackedRows, capacity: int, dev_inputs=None):
         """Full cascade on one device: filter (+ device window verify when
@@ -609,11 +652,13 @@ class CascadeModel:
                 lengths_d = jnp.asarray(packed.lengths)
 
             def launch(cap_a, cap_b):
-                cells, n_d, nf_d = self.launch_device(
+                cells, n_d, nf_d, nc_d = self.launch_device(
                     chunks_d, lengths_d, cap_a, cap_b
                 )
-                n, nf = map(int, np.asarray(jnp.stack([n_d, nf_d])))
-                return cells, n, nf
+                n, nf, nc = map(
+                    int, np.asarray(jnp.stack([n_d, nf_d, nc_d]))
+                )
+                return cells, n, nf, nc
 
             cells, nf = self.adaptive_chain(launch)
             if nf == 0:
@@ -720,13 +765,16 @@ class CascadeModel:
         Returns ``(start_idx np, n_starts)`` ready for :meth:`verify`."""
         if self.plan.mode == "sampled":
             while True:
-                idx, lw, sw, n = self.scan_hits_sampled(
+                idx, lw, sw, n, nc = self.scan_hits_sampled(
                     packed.chunks, packed.lengths, capacity
                 )
-                n = int(n)
-                if n <= capacity:
+                n, nc = int(n), int(nc)
+                if n <= capacity and nc <= self._cap_coarse:
                     break
-                capacity = _next_pow2(n)
+                if n > capacity:
+                    capacity = _next_pow2(n)
+                if nc > self._cap_coarse:
+                    self._cap_coarse = _next_pow2(nc)
             return self.expand_hits(
                 np.asarray(idx), np.asarray(lw), np.asarray(sw), n,
                 packed.row_len, packed.lengths,

@@ -262,12 +262,13 @@ def filter_hits_sampled(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "q", "stride", "log2_rows", "salts", "shorts", "capacity",
-        "interpret",
+        "q", "stride", "log2_rows", "salts", "log2_words", "fine_salts",
+        "shorts", "capacity", "cap_coarse", "interpret",
     ),
 )
 def filter_hits_sampled_vmem(
-    table: jax.Array,  # [2**log2_rows, 128] int32 lane-partitioned bloom
+    table: jax.Array,  # [k * n_banks, 128] int32 per-probe VMEM banks
+    words: jax.Array,  # [2**log2_words] int32 HBM bloom (fine stage)
     chunks: jax.Array,  # [B, L] uint8
     lengths: jax.Array,  # [B] int32
     min_long_len: jax.Array,  # scalar int32 (0 disables the long path)
@@ -275,19 +276,33 @@ def filter_hits_sampled_vmem(
     stride: int,
     log2_rows: int,
     salts: Tuple[int, ...],
+    log2_words: int,
+    fine_salts: Tuple[int, ...],
     shorts: Tuple[bytes, ...],
     capacity: int,
+    cap_coarse: int,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Strided-sampled filter, Pallas VMEM-bloom edition.
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Strided-sampled filter, two-stage Pallas VMEM-bloom edition.
 
-    Same contract and downstream machinery as :func:`filter_hits_sampled`
-    (grid-domain compaction, host expansion of alignment/short words), but
-    the positional-bloom probe runs in the lane-partitioned VMEM kernel
-    (ops/filter_pallas.bloom_word_vmem): ``k = len(salts)`` vector gathers
-    per 128-lane row of grid cells instead of one serialized XLA
-    scalar-unit gather per cell — the round-2 filter stage sat AT the
-    measured ~132 M lookups/s gather wall (docs/PERF_NOTES.md)."""
+    Stage 1 (coarse, VPU): every grid cell's gram code probes ``k``
+    small per-salt VMEM blooms through the bank-select kernel
+    (ops/filter_pallas.bloom_word_vmem) — pure vector work, no
+    scalar-gather-unit serialization.  The round-2 filter stage sat AT
+    the measured ~132 M lookups/s XLA gather wall (docs/PERF_NOTES.md);
+    the coarse stage replaces that per-cell gather entirely.
+
+    Stage 2 (fine, XLA gather): only the compacted coarse survivors
+    (``<= cap_coarse``, planner-bounded at ~1% of cells) re-probe the big
+    HBM positional bloom — the same ``words`` the take path uses — so the
+    per-cell gather cost shrinks by the coarse rejection factor.  A second
+    compaction hands downstream (host expansion / window verify) the same
+    contract as :func:`filter_hits_sampled`.
+
+    Returns ``(grid_idx [cap], long_word [cap], short_word [cap],
+    n_final, n_coarse)`` — retry with ``cap_coarse`` doubled when
+    ``n_coarse > cap_coarse`` and with ``capacity`` doubled when
+    ``n_final > capacity`` (exactness: overflow never truncates)."""
     from .filter_pallas import bloom_word_vmem
 
     B, L = chunks.shape
@@ -309,12 +324,33 @@ def filter_hits_sampled_vmem(
     else:
         sw = jnp.zeros((B, M), jnp.int32)
 
-    hit = (w | sw) != 0
-    idx, n_hits = blocked_nonzero(hit.reshape(-1), capacity)
-    safe = jnp.minimum(idx, B * M - 1)
-    lw = jnp.where(idx < INT32_MAX, jnp.take(w.reshape(-1), safe), 0)
-    swo = jnp.where(idx < INT32_MAX, jnp.take(sw.reshape(-1), safe), 0)
-    return idx, lw, swo, n_hits
+    # stage-1 compaction over the (sparse) coarse-hit mask
+    hit1 = (w | sw) != 0
+    idx1, n_coarse = blocked_nonzero(hit1.reshape(-1), cap_coarse)
+    safe1 = jnp.minimum(idx1, B * M - 1)
+    valid1 = idx1 < INT32_MAX
+    lw1 = jnp.where(valid1, jnp.take(w.reshape(-1), safe1), 0)
+    sw1 = jnp.where(valid1, jnp.take(sw.reshape(-1), safe1), 0)
+
+    # stage 2: survivors re-probe the HBM bloom (gathers ∝ survivors)
+    c1 = jnp.take(code.reshape(-1), safe1)
+    wf = None
+    for salt in fine_salts:
+        h = (c1.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+        widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+        probe = jnp.take(words, widx)
+        wf = probe if wf is None else (wf & probe)
+    lw1 = lw1 & wf
+
+    # stage-2 compaction: drop cells the fine probe refuted
+    alive = (lw1 | sw1) != 0
+    slot, n_final = blocked_nonzero(alive, capacity)
+    safe2 = jnp.minimum(slot, cap_coarse - 1)
+    valid2 = slot < INT32_MAX
+    idx = jnp.where(valid2, jnp.take(idx1, safe2), INT32_MAX)
+    lw = jnp.where(valid2, jnp.take(lw1, safe2), 0)
+    swo = jnp.where(valid2, jnp.take(sw1, safe2), 0)
+    return idx, lw, swo, n_final, n_coarse
 
 
 @functools.partial(

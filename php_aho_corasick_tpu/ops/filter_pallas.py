@@ -41,58 +41,81 @@ BLOCK_R = 256  # rows of 128 lanes per grid step
 SUB = 8  # Mosaic gather tile height
 
 
-def _vmem_kernel(salts, log2_rows, table_ref, codes_ref, out_ref):
-    c = codes_ref[...]
+def _vmem_kernel(salts, log2_rows, n_banks, table_ref, codes_ref, out_ref):
+    """Per [8,128] tile of codes: hash each salt to a word slot, resolve
+    (bank, lane) with a fori_loop over bank rows (dynamic-slice row
+    broadcast + lane take_along_axis + select — the only gather shape the
+    v5e Mosaic stack supports is the same-[8,128]-tile lane gather), AND
+    the probed words across salts."""
     shift = jnp.uint32(32 - log2_rows)
-    acc = None
-    for salt in salts:
-        h = (c.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
-        rows = (h >> shift).astype(jnp.int32)
-        got = jnp.take_along_axis(table_ref[...], rows, axis=0)
-        acc = got if acc is None else (acc & got)
-    out_ref[...] = acc
+
+    def body(r, _):
+        c = codes_ref[pl.ds(r * SUB, SUB), :]
+        acc_all = None
+        for p, salt in enumerate(salts):
+            h = (c.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+            slot = (h >> shift).astype(jnp.int32)
+            lane = slot & 127
+            bank = slot >> 7
+
+            def bank_body(b, acc):
+                row = jnp.broadcast_to(
+                    table_ref[pl.ds(p * n_banks + b, 1), :], (SUB, 128)
+                )
+                g = jnp.take_along_axis(row, lane, axis=1)
+                return jnp.where(bank == b, g, acc)
+
+            acc = jax.lax.fori_loop(
+                0, n_banks, bank_body, jnp.zeros((SUB, 128), jnp.int32)
+            )
+            acc_all = acc if acc_all is None else (acc_all & acc)
+        out_ref[pl.ds(r * SUB, SUB), :] = acc_all
+        return 0
+
+    jax.lax.fori_loop(0, codes_ref.shape[0] // SUB, body, 0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("salts", "log2_rows", "interpret")
 )
 def bloom_word_vmem(
-    table: jax.Array,  # [N, 128] int32, all columns identical, N = 2**log2_rows
+    table: jax.Array,  # [len(salts) * n_banks, 128] int32 per-probe banks
     codes: jax.Array,  # [...] int32 gram codes
-    salts: tuple,  # k probe salts
-    log2_rows: int,
+    salts: tuple,  # k probe salts (one bank table each)
+    log2_rows: int,  # log2 of words per probe table (n_banks * 128)
     interpret: bool = False,
 ) -> jax.Array:
-    """AND over ``salts`` of ``table[hash_salt(code), lane]`` per code.
+    """AND over ``salts`` of ``table_p[hash_salt_p(code)]`` per code.
 
-    Returns the probed positional word for every code (same shape as
+    Each salt owns an independent ``2**log2_rows``-word positional bloom
+    (rows ``[p*n_banks, (p+1)*n_banks)`` of ``table``); a probe fetches
+    its hashed word via the bank-select chain and the salts' words AND.
+    Returns the combined positional word for every code (same shape as
     ``codes``); a zero word means "no alignment of any long pattern can
     produce this gram" — the caller's grid-cell hit test."""
     shape = codes.shape
     flat = codes.reshape(-1)
     n = flat.shape[0]
-    N = table.shape[0]
-    assert N == 1 << log2_rows and table.shape[1] == 128
-    # block rows per grid step: same sublane count as the table keeps the
-    # dynamic_gather operands same-shape (the conservatively-supported
-    # Mosaic form); cap the padding waste for small inputs
+    n_banks = (1 << log2_rows) // 128
+    assert table.shape == (len(salts) * n_banks, 128)
     cols = 128
     rows = -(-n // cols)
-    block_r = min(N, 1 << 12)
-    rows_pad = -(-rows // block_r) * block_r
+    rows_pad = -(-rows // BLOCK_R) * BLOCK_R
     padded = jnp.zeros((rows_pad * cols,), jnp.int32).at[:n].set(flat)
     grid_codes = padded.reshape(rows_pad, cols)
 
     out = pl.pallas_call(
-        functools.partial(_vmem_kernel, salts, log2_rows),
-        grid=(rows_pad // block_r,),
+        functools.partial(_vmem_kernel, salts, log2_rows, n_banks),
+        grid=(rows_pad // BLOCK_R,),
         in_specs=[
-            pl.BlockSpec((N, 128), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_r, 128), lambda i: (i, 0),
+            pl.BlockSpec(
+                (len(salts) * n_banks, 128), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((BLOCK_R, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_r, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((BLOCK_R, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, cols), jnp.int32),
         interpret=interpret,

@@ -171,6 +171,100 @@ def sharded_scan_compact(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "n_classes", "n_dense", "capacity", "collect"),
+)
+def _sharded_call_compressed(
+    dense_flat,
+    meta,
+    exc_target,
+    byte_class,
+    used_bytes,
+    chunks,
+    init_state,
+    lengths,
+    emit_from,
+    dense_final_start,
+    final_start,
+    *,
+    mesh: Mesh,
+    n_classes: int,
+    n_dense: int,
+    capacity: int,
+    collect: bool = False,
+):
+    from ..ops.scan_jax import scan_and_compact_compressed
+
+    data, rep = P(DATA_AXIS), P()
+    buf_spec = rep if collect else data
+
+    def local_fn(df, mt, et, bc, ub, ch, ini, ln, ef, dfs, fs):
+        idx, sts, n, carry = scan_and_compact_compressed(
+            df, mt, et, bc, ub, ch, ini, ln, ef, dfs, fs,
+            n_classes=n_classes, n_dense=n_dense, capacity=capacity,
+        )
+        shard = jax.lax.axis_index(DATA_AXIS)
+        local_cells = ch.shape[0] * ch.shape[1]
+        idx = jnp.where(idx < INT32_MAX, idx + shard * local_cells, idx)
+        counts, gstats = _globalize_counts(n)
+        return (
+            _maybe_collect(idx, collect),
+            _maybe_collect(sts, collect),
+            counts,
+            gstats,
+            carry,
+        )
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, data, data, data, data, rep, rep),
+        out_specs=(buf_spec, buf_spec, rep, rep, data),
+    )
+    return fn(
+        dense_flat, meta, exc_target, byte_class, used_bytes, chunks,
+        init_state, lengths, emit_from, dense_final_start, final_start,
+    )
+
+
+def sharded_scan_compact_compressed(
+    mesh: Mesh,
+    dev_arrays: dict,
+    chunks,
+    init_state,
+    lengths,
+    emit_from,
+    n_classes: int,
+    n_dense: int,
+    capacity: int,
+    collect: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Run the compacted compressed-table scan over the mesh (byte-dense
+    signature-scale sets whose dense ``[S, C]`` table exceeds HBM budget —
+    core/tables.CompressedAutomaton).  Same outputs as
+    :func:`sharded_scan_compact`; the dense bank + exception arrays are
+    replicated per chip, rows sharded."""
+    return _sharded_call_compressed(
+        dev_arrays["dense_flat"],
+        dev_arrays["meta"],
+        dev_arrays["exc_target"],
+        dev_arrays["byte_class"],
+        dev_arrays["used_bytes"],
+        chunks,
+        init_state,
+        lengths,
+        emit_from,
+        dev_arrays["dense_final_start"],
+        dev_arrays["final_start"],
+        mesh=mesh,
+        n_classes=n_classes,
+        n_dense=n_dense,
+        capacity=capacity,
+        collect=collect,
+    )
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "n_classes", "k", "capacity", "collect"),
 )
 def _sharded_call_kgram(

@@ -369,7 +369,7 @@ def test_sampled_launch_device_pipelined():
     outs = [cm.launch_device(chunks, lengths, cap_a, cap_b)
             for _ in range(3)]
     flat = np.asarray(jnp.stack(
-        [s for _c, n, nf in outs for s in (n, nf)]
+        [s for _c, n, nf, nc in outs for s in (n, nf)]
     ))  # single sync fetch for all three chains
     ns, nfs = flat[0::2], flat[1::2]
     assert (ns == ns[0]).all() and (nfs == nfs[0]).all()
@@ -472,20 +472,23 @@ def test_vmem_bloom_word_matches_host():
     rng = np.random.default_rng(3)
     log2_rows = 10
     N = 1 << log2_rows
-    words = rng.integers(-(2**31), 2**31, N, dtype=np.int64).astype(np.int32)
+    salts = tuple((0x9E3779B9 * (2 * i + 1)) & 0xFFFFFFFF for i in range(4))
+    k = len(salts)
+    words = rng.integers(-(2**31), 2**31, k * N, dtype=np.int64).astype(
+        np.int32
+    )
     codes = rng.integers(-(2**31), 2**31, 3000, dtype=np.int64).astype(
         np.int32
     )
-    salts = tuple((0x9E3779B9 * (2 * i + 1)) & 0xFFFFFFFF for i in range(4))
-    table = jnp.broadcast_to(jnp.asarray(words)[:, None], (N, 128))
+    table = jnp.asarray(words.reshape(k * N // 128, 128))
     got = np.asarray(
         bloom_word_vmem(table, jnp.asarray(codes), salts, log2_rows,
                         interpret=True)
     )
     acc = None
-    for salt in salts:
+    for p, salt in enumerate(salts):
         h = (codes.astype(np.uint64) ^ salt) * KNUTH & 0xFFFFFFFF
-        w = words[(h >> (32 - log2_rows)).astype(np.int64)]
+        w = words[p * N + (h >> (32 - log2_rows)).astype(np.int64)]
         acc = w if acc is None else acc & w
     np.testing.assert_array_equal(got, acc)
 
@@ -528,9 +531,12 @@ def test_vmem_plan_attached_and_selective():
     m.finalize()
     plan = plan_cascade([p.value for p in m._patterns], m.automaton, cfg)
     assert plan.vmem_words is not None
-    assert plan.vmem_words.shape[0] == 4096
-    assert 2 <= len(plan.vmem_salts) <= 8
-    assert plan.vmem_est_stray <= 0.02
+    k = len(plan.vmem_salts)
+    N = 1 << plan.vmem_log2_rows
+    assert plan.vmem_words.shape == (k * N // 128, 128)
+    assert 2 <= k <= 8
+    assert k * N * 4 <= cfg.cascade_vmem_bloom_bytes
+    assert plan.vmem_est_stray <= 0.01
     # every pattern's every alignment gram must probe positive (soundness)
     from php_aho_corasick_tpu.models.cascade import _alignment_gram_codes
     from php_aho_corasick_tpu.ops.filter_jax import KNUTH
@@ -538,10 +544,11 @@ def test_vmem_plan_attached_and_selective():
     longs = [p.value for p in m._patterns]
     codes, aligns = _alignment_gram_codes(longs, plan.q, plan.stride)
     acc = None
-    words = plan.vmem_words.view(np.uint32)
-    for salt in plan.vmem_salts:
+    words = plan.vmem_words.view(np.uint32).reshape(-1)
+    for p_i, salt in enumerate(plan.vmem_salts):
         h = (codes ^ np.uint32(salt)) * np.uint32(KNUTH)
-        w = words[(h >> np.uint32(32 - plan.vmem_log2_rows)).astype(np.int64)]
+        rows = (h >> np.uint32(32 - plan.vmem_log2_rows)).astype(np.int64)
+        w = words[p_i * N + rows]
         acc = w if acc is None else acc & w
     assert ((acc >> aligns.astype(np.uint32)) & 1).all()
 
@@ -607,13 +614,14 @@ def test_sampled_vmem_launch_device_pipelined():
     scalars = []
     cells = []
     for _ in range(3):
-        c, n_d, nf_d = cm.launch_device(chunks, lengths, cap_a, cap_b)
-        scalars.extend((n_d, nf_d))
+        c, n_d, nf_d, nc_d = cm.launch_device(chunks, lengths, cap_a, cap_b)
+        scalars.extend((n_d, nf_d, nc_d))
         cells.append(c)
     flat = np.asarray(jnp.stack(scalars))
-    assert (flat[0::2] <= cap_a).all() and (flat[1::2] <= cap_b).all()
+    assert (flat[0::3] <= cap_a).all() and (flat[1::3] <= cap_b).all()
+    assert (flat[2::3] <= cm._cap_coarse).all()
     docs_a, ends_a, pids_a = cm.emit_windows_arrays(
-        packed, np.asarray(cells[-1]), int(flat[-1])
+        packed, np.asarray(cells[-1]), int(flat[1::3][-1])
     )
     want = []
     for di, d in enumerate(docs):

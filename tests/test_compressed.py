@@ -223,3 +223,41 @@ def test_auto_format_switch_threshold():
     assert m.match("say hello world")[0]["value"] == "hello"
     # default threshold keeps small sets dense
     assert Matcher([{"value": "hello"}]).table_format == "dense"
+
+
+def test_compressed_sharded_parity():
+    """The compressed scan over the 8-device mesh (round-3: the dense-only
+    use_mesh restriction is lifted) must match the dense sharded result
+    exactly — replicated dense-bank + exception arrays, sharded rows."""
+    rng = random.Random(17)
+    pats = [
+        bytes(rng.choice(b"abcdwxyz") for _ in range(rng.randrange(2, 10)))
+        for _ in range(40)
+    ]
+    specs = [{"id": i, "value": p} for i, p in enumerate(dict.fromkeys(pats))]
+    docs = []
+    for _ in range(9):
+        d = bytearray(rng.choice(b"abcdwxyz") for _ in range(3000))
+        for _ in range(4):
+            p = rng.choice(pats)
+            pos = rng.randrange(0, len(d) - len(p))
+            d[pos : pos + len(p)] = p
+        docs.append(bytes(d))
+    mC = Matcher(specs, ScanConfig(table_format="compressed",
+                                   backend="device", auto_shard=True,
+                                   chunk_len=512, match_capacity=64))
+    mD = Matcher(specs, ScanConfig(backend="device", auto_shard=True,
+                                   chunk_len=512, match_capacity=64))
+    import jax
+
+    assert len(jax.devices()) > 1  # the mesh path must actually engage
+    assert mC.table_format == "compressed"
+    resC = mC.match_many(docs)
+    resD = mD.match_many(docs)
+    assert resC == resD
+    assert sum(map(len, resC)) > 0
+    # columnar image through the same sharded kernel
+    arrC = mC.match_arrays(docs)
+    arrD = mD.match_arrays(docs)
+    for k in ("doc", "pos", "start_postion", "pattern"):
+        assert (arrC[k] == arrD[k]).all()
