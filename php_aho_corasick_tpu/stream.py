@@ -6,23 +6,29 @@ chunks: ``ac_trie_search(..., keep=1)`` preserves ``last_node`` and
 (``src/multifast/ahocorasick.c:191-194, 236-238``; the PHP layer always
 resets, ``php_ahocorasick.c:745``).
 
-TPU-native equivalent: the scanner carries the exact DFA state (the
-``last_node`` analog) across feeds.  The carried state is, by the AC
-closure property, the longest suffix of the consumed stream that is a
-trie node; its depth ``d = state_depth[state]`` is exactly the number of
-trailing bytes that could still be part of a future match (the quantity
-the reference's replace backlog cut is built on, ``replace.c:529``).  A
-feed therefore prepends only those ``d`` bytes — NOT a fixed
-``max_len - 1`` tail — before handing the buffer to the normal batched
-engine pipeline, and suppresses emissions inside them.  Any match
-crossing the boundary with ``l`` bytes before it implies those ``l``
-bytes form a pattern prefix (a trie node), hence ``l <= d``: the ``d``
-prefix bytes are sufficient for exactness.
+TPU-native equivalent — two carry mechanisms, routed per feed:
 
-Per-feed cost is O(len(data) + d) engine work plus an O(min(stream,
-max_len)) host table walk to refresh the carried state — independent of
-``max_len`` on the engine side, and the walk is at most 1024 scalar
-steps (``AC_PATTRN_MAX_LENGTH``, ``actypes.h:148``).
+**Device state carry** (the default device path).  The carried DFA state
+(the ``last_node`` analog) is fed straight into the scan kernel as the
+first row's ``init_state`` and the *kernel's own* carry output
+(``scan_and_compact``'s ``carry_state``) becomes the next feed's state —
+no prefix prepend, no per-feed host walk, no tail buffer; feed cost is
+O(len(data)) engine work on both sides, independent of ``max_len``.
+Rows after the first inside one feed continue through the standard
+halo/`emit_from` machinery (a match spans <= ``max_len`` bytes, so only
+row 0 needs the cross-feed state).
+
+**Prefix re-scan** (host feeds + large cascade feeds).  The carried
+state's trie depth ``d = state_depth[state]`` is exactly the number of
+trailing bytes that could still be part of a future match (the quantity
+the reference's replace backlog cut is built on, ``replace.c:529``); the
+feed prepends those ``d`` bytes and suppresses emissions inside them.
+Used where the carrying kernel is not the best engine: host feeds (the
+native C oracle scan has no init-state entry) and large feeds whose
+engine choice is the start-based sampled cascade (filters cannot carry a
+DFA state; prepending ``d <= 1024`` bytes costs ~nothing at MiB feed
+sizes).  Here the carried state refresh is an O(min(stream, max_len))
+host table walk.
 """
 
 from __future__ import annotations
@@ -51,8 +57,9 @@ class StreamScanner:
         self._m.finalize() if not matcher.finalized else None
         self.base_position = 0  # bytes consumed so far
         self.state = 0  # carried DFA state (the ``last_node`` analog)
-        self._tail = b""  # last <= max_len stream bytes (state refresh)
+        self._tail = b""  # last <= max_len stream bytes (prefix path only)
         self._closed = False
+        self._cap = matcher.config.match_capacity
 
     @property
     def state_depth(self) -> int:
@@ -70,6 +77,57 @@ class StreamScanner:
         data = bytes(data)
         if not data:
             return []
+        m = self._m
+        cfg = m.config
+        use_host = cfg.backend == "host" or (
+            cfg.backend == "auto" and len(data) <= cfg.host_scan_threshold
+        )
+        if not use_host:
+            engine = m._pick_engine(len(data))
+            if engine != "cascade":
+                return self._feed_device_carry(data)
+        return self._feed_prefix(data)
+
+    # -------------------------------------------------- device state carry
+
+    def _feed_device_carry(self, data: bytes) -> List[dict]:
+        """Exact device carry: row 0 starts from the carried state, the
+        kernel's carry output becomes the next feed's state."""
+        from .ops.matches import expand_matches_arrays, pack_documents
+        from .utils import next_pow2
+
+        m = self._m
+        auto = m.automaton
+        halo = max(auto.max_len - 1, 0)
+        packed = pack_documents([data], m.config.chunk_len, halo)
+        init = np.zeros(packed.batch, dtype=np.int32)
+        rows = np.nonzero(packed.doc_id == 0)[0]
+        init[rows[0]] = self.state
+        while True:
+            idx, sts, n, carry = m.model.scan_compact_device(
+                packed.chunks, packed.lengths, packed.emit_from,
+                init, self._cap,
+            )
+            n = int(n)
+            if n <= self._cap:
+                break
+            self._cap = next_pow2(n)
+        docs_a, ends_a, pids_a = expand_matches_arrays(
+            auto, packed, np.asarray(idx), np.asarray(sts), n
+        )
+        out: List[List[dict]] = [[]]
+        m._emit_records(docs_a, ends_a + self.base_position, pids_a, out)
+        self.state = int(np.asarray(carry)[rows[-1]])
+        self.base_position += len(data)
+        # keep the byte tail current (an O(max_len) slice, no table walk)
+        # so a later feed routed to the prefix path can prepend real bytes
+        H = auto.max_len
+        self._tail = (self._tail + data)[-H:] if H else b""
+        return out[0]
+
+    # -------------------------------------------------- prefix re-scan
+
+    def _feed_prefix(self, data: bytes) -> List[dict]:
         d = self.state_depth
         prefix = self._tail[len(self._tail) - d:] if d else b""
         text = prefix + data

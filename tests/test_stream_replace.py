@@ -206,3 +206,84 @@ def test_iter_matches_empty_and_closed(backend):
     m.close()
     with pytest.raises(AhoError):
         list(m.iter_matches("ab"))
+
+
+# ------------------------------------------- device state carry (round 3)
+
+def _brute_stream(patterns, text):
+    out = []
+    for p in patterns:
+        start = text.find(p)
+        while start != -1:
+            out.append((start + len(p), -len(p), p))
+            start = text.find(p, start + 1)
+    out.sort()
+    return [(pos, p) for pos, _, p in out]
+
+
+def test_stream_device_carry_bypasses_prefix(monkeypatch):
+    """Device feeds above the host threshold must carry the DFA state in
+    the kernel (no Matcher.match prefix re-scan) and stay exact across
+    split patterns."""
+    rng = random.Random(8)
+    pats = [b"wxyzwxyz", b"zzzz", b"xy"]
+    cfg = ScanConfig(backend="device", host_scan_threshold=64,
+                     chunk_len=512, engine="dfa")
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(pats)], cfg)
+    m.finalize()
+    monkeypatch.setattr(
+        m, "match",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("prefix path engaged on a device-carry feed")
+        ),
+    )
+    text = bytearray(rng.choice(b"wxyz") for _ in range(3000))
+    text[100:108] = b"wxyzwxyz"
+    text[1021:1029] = b"wxyzwxyz"  # will split across feeds below
+    text = bytes(text)
+    recs = []
+    with m.stream() as st:
+        for off in range(0, len(text), 1025):  # splits the planted match
+            recs.extend(st.feed(text[off:off + 1025]))
+    got = [(r["pos"], r["value"].encode() if isinstance(r["value"], str)
+            else r["value"]) for r in recs]
+    assert got == _brute_stream(pats, text)
+
+
+def test_stream_mixed_carry_and_prefix_paths():
+    """Feeds alternating between the device-carry path (large, dfa) and
+    the host prefix path (small) must agree with the one-shot scan —
+    the tail buffer and carried state stay consistent across routes."""
+    rng = random.Random(9)
+    pats = [b"abcabcab", b"cab"]
+    cfg = ScanConfig(backend="auto", host_scan_threshold=64, chunk_len=512)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(pats)], cfg)
+    text = bytearray(rng.choice(b"abc") for _ in range(2500))
+    text = bytes(text)
+    want = [(p, v) for p, v in _brute_stream(pats, text)]
+    recs = []
+    sizes = [700, 30, 900, 10, 860]  # > and < the host threshold
+    with m.stream() as st:
+        off = 0
+        for s in sizes:
+            recs.extend(st.feed(text[off:off + s]))
+            off += s
+        assert off == len(text)
+    got = [(r["pos"], r["value"].encode() if isinstance(r["value"], str)
+            else r["value"]) for r in recs]
+    assert got == want
+
+
+def test_stream_device_carry_compressed_table():
+    pats = [b"mnopmnop", b"op"]
+    cfg = ScanConfig(backend="device", host_scan_threshold=16,
+                     table_format="compressed", chunk_len=256)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(pats)], cfg)
+    text = (b".." + b"mnopmnop") * 80
+    recs = []
+    with m.stream() as st:
+        for off in range(0, len(text), 301):
+            recs.extend(st.feed(text[off:off + 301]))
+    got = [(r["pos"], r["value"].encode() if isinstance(r["value"], str)
+            else r["value"]) for r in recs]
+    assert got == _brute_stream(pats, text)
