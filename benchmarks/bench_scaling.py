@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--mib", type=int, default=32)
     ap.add_argument("--force-cpu", action="store_true")
+    ap.add_argument(
+        "--engine", choices=("dfa", "cascade"), default="dfa",
+        help="dfa: sharded dense scan; cascade: the headline chained "
+        "sampled-filter + window-verify shard pass",
+    )
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -41,6 +46,7 @@ def main():
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from php_aho_corasick_tpu.utils import next_pow2 as _next_pow2
     from php_aho_corasick_tpu import Matcher, ScanConfig
     from php_aho_corasick_tpu.ops.matches import pack_documents
     from php_aho_corasick_tpu.parallel.mesh import data_mesh
@@ -52,9 +58,13 @@ def main():
         bytes(alphabet[rng.integers(0, 6, 16)]) for _ in range(2048)
     })
     m = Matcher([{"id": i, "value": p} for i, p in enumerate(pats)],
-                ScanConfig(backend="device", engine="dfa"))
+                ScanConfig(backend="device", engine=args.engine,
+                           bloom_impl="take"))
     m.finalize()
     auto = m.automaton
+    cm = m.cascade_model if args.engine == "cascade" else None
+    if args.engine == "cascade":
+        assert cm is not None and cm.device_verify_ok, "cascade ineligible"
 
     n_bytes = args.mib * 2**20
     corpus = bytes(alphabet[rng.integers(0, 6, n_bytes)])
@@ -87,12 +97,33 @@ def main():
             jnp.zeros((packed.batch,), jnp.int32), row
         )
 
-        def launch():
-            idx, sts, counts, gstats, carry = sharded_scan_compact(
-                mesh, dev, ch, init, ln, ef,
-                n_classes=auto.n_classes, capacity=4096,
+        if args.engine == "cascade":
+            from php_aho_corasick_tpu.parallel.shard_scan import (
+                sharded_sampled_verified,
             )
-            return int(np.asarray(gstats)[0])  # psum global match count
+
+            # capacities are PER SHARD (verify_windows walks the full
+            # static capacity, so over-provisioning multiplies phase-B
+            # work by n_shards): estimated global hits / nd, 8x headroom
+            est_hits = int(
+                cm.plan.est_cand_density * n_bytes * cm.plan.stride
+            )
+            cap_hits = max(2048, _next_pow2(8 * est_hits // nd))
+
+            def launch():
+                cells, nfs, gh, gf = sharded_sampled_verified(
+                    mesh, cm, ch, ln, cap_hits=cap_hits, cap_flagged=2048,
+                )
+                stats = np.asarray(jnp.stack([gh, gf]))
+                assert stats[0, 1] <= cap_hits and stats[1, 1] <= 2048, stats
+                return int(stats[0, 0])
+        else:
+            def launch():
+                idx, sts, counts, gstats, carry = sharded_scan_compact(
+                    mesh, dev, ch, init, ln, ef,
+                    n_classes=auto.n_classes, capacity=4096,
+                )
+                return int(np.asarray(gstats)[0])  # psum global match count
 
         launch()
         t0 = time.time()

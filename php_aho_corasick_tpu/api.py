@@ -548,14 +548,11 @@ class Matcher:
     @property
     def cascade_model(self):
         """Lazily-planned cascade filter model (models/cascade.py);
-        ``None`` when the pattern set is ineligible."""
+        ``None`` when the pattern set is ineligible.  Works on both table
+        formats — with table_format="compressed" the window verifier is
+        the 3-gather compressed walk (verify_windows_compressed), which
+        is what lets the fast engine run at byte-dense signature scale."""
         if self._cascade is _UNSET:
-            if self.table_format == "compressed":
-                # window verification walks the dense table; the
-                # compressed-table cascade lands with the compressed
-                # window verifier (see models/compressed_dfa.py)
-                self._cascade = None
-                return None
             from .models.cascade import CascadeModel, plan_cascade
 
             plan = plan_cascade(
@@ -590,10 +587,31 @@ class Matcher:
     def _pick_engine(self, total_payload: int) -> str:
         cfg = self.config
         if self.table_format == "compressed":
-            if cfg.engine not in ("auto", "dfa"):
+            if cfg.engine in ("kgram", "tile"):
                 raise ValueError(
                     f"engine {cfg.engine!r} requires the dense table format"
                 )
+            if cfg.engine == "cascade":
+                if self.cascade_model is None:
+                    raise ValueError(
+                        "cascade engine forced but pattern set is ineligible"
+                    )
+                return "cascade"
+            if cfg.engine == "auto":
+                # the compressed dfa costs 3 gathers/byte; any eligible
+                # sampled cascade (1/stride gathers/byte + device window
+                # verify through the compressed walk) beats it
+                cm = (
+                    self.cascade_model
+                    if total_payload >= cfg.cascade_min_bytes
+                    else None
+                )
+                if (
+                    cm is not None
+                    and cm.plan.mode == "sampled"
+                    and cm.device_verify_ok
+                ):
+                    return "cascade"
             return "dfa"  # scan_compact_device dispatches the compressed kernel
         if cfg.engine in ("dfa", "kgram"):
             return cfg.engine
@@ -667,7 +685,10 @@ class Matcher:
 
         if engine == "cascade":
             cm = self.cascade_model
-            if use_mesh:
+            if use_mesh and self.table_format == "dense":
+                # (the sharded sampled+verify pass gathers from the dense
+                # table; compressed cascades run single-device — rows are
+                # independent, so multi-process corpora shard above this)
                 arrays = self._run_sharded_cascade(packed, capacity)
             else:
                 arrays = cm.run_arrays(packed, capacity)

@@ -88,6 +88,11 @@ class CompiledAutomaton:
     def table_bytes(self) -> int:
         return self.table.nbytes
 
+    def is_final(self, states: np.ndarray) -> np.ndarray:
+        """Vectorized finality predicate (same interface as
+        CompressedAutomaton.is_final — table-format-agnostic walkers)."""
+        return np.asarray(states) >= self.final_start
+
     def lookup(self, states: np.ndarray, classes: np.ndarray) -> np.ndarray:
         """Vectorized host transition (same interface as
         CompressedAutomaton.lookup, so host-side walkers — streaming state

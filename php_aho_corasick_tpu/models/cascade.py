@@ -74,8 +74,11 @@ def _gram_code_u32(classes: Sequence[int], n_classes: int) -> int:
 
 
 def _own_pat(auto: CompiledAutomaton) -> np.ndarray:
+    """Own-pattern id per final state — table-format agnostic (the
+    compressed format has TWO final ranges, see
+    CompressedAutomaton.is_final)."""
     own = np.full(auto.n_states, -1, dtype=np.int64)
-    finals = np.arange(auto.final_start, auto.n_states)
+    finals = np.nonzero(auto.is_final(np.arange(auto.n_states)))[0]
     if finals.size:
         first = auto.emit_pats[auto.emit_start[finals]]
         is_own = auto.pat_lens[first] == auto.state_depth[finals]
@@ -434,12 +437,19 @@ class CascadeModel:
     @property
     def device_verify_ok(self) -> bool:
         """Device window verification needs the final-step bitmask to fit
-        an int32 and a dense model to share the transition table."""
+        an int32 and a DFA model (dense or compressed) to share the
+        transition table."""
         return (
             self.plan.mode == "sampled"
             and self.win_len <= 32
             and self.dense_model is not None
         )
+
+    @property
+    def _compressed(self) -> bool:
+        from ..core.tables import CompressedAutomaton
+
+        return isinstance(self.auto, CompressedAutomaton)
 
     @property
     def device_arrays(self):
@@ -610,27 +620,47 @@ class CascadeModel:
         launch (docs/PERF_NOTES.md).  The counts must be checked against
         ``cap_a``/``cap_b``/``self._cap_coarse`` after fetching — overflow
         means retry bigger."""
-        from ..ops.filter_jax import verify_windows
+        from ..ops.filter_jax import verify_windows, verify_windows_compressed
 
         dd = self.dense_model.device_arrays
         dev = self.device_arrays
         idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
             chunks_d, lengths_d, cap_a
         )
-        cells, nf_d = verify_windows(
-            dd["table_flat"],
-            dev["byte_class"],
-            dev["used_bytes"],
-            chunks_d,
-            lengths_d,
-            idx,
-            dd["final_start"],
-            n_classes=self.auto.n_classes,
-            stride=self.plan.stride,
-            win_len=self.win_len,
-            capacity=cap_b,
-            n_hits=cap_a,
-        )
+        if self._compressed:
+            cells, nf_d = verify_windows_compressed(
+                dd["dense_flat"],
+                dd["meta"],
+                dd["exc_target"],
+                dev["byte_class"],
+                dev["used_bytes"],
+                chunks_d,
+                lengths_d,
+                idx,
+                dd["dense_final_start"],
+                dd["final_start"],
+                n_classes=self.auto.n_classes,
+                n_dense=self.auto.n_dense,
+                stride=self.plan.stride,
+                win_len=self.win_len,
+                capacity=cap_b,
+                n_hits=cap_a,
+            )
+        else:
+            cells, nf_d = verify_windows(
+                dd["table_flat"],
+                dev["byte_class"],
+                dev["used_bytes"],
+                chunks_d,
+                lengths_d,
+                idx,
+                dd["final_start"],
+                n_classes=self.auto.n_classes,
+                stride=self.plan.stride,
+                win_len=self.win_len,
+                capacity=cap_b,
+                n_hits=cap_a,
+            )
         return cells, n_d, nf_d, nc_d
 
     def run_arrays(self, packed: PackedRows, capacity: int, dev_inputs=None):
@@ -703,7 +733,6 @@ class CascadeModel:
         rows = g // M
         m = g % M
         w0 = m * s - (s - 1)
-        table = auto.table
         bc = auto.byte_class
         row_len = packed.lengths[rows].astype(np.int64)
         row_emit = packed.emit_from[rows].astype(np.int64)
@@ -715,9 +744,9 @@ class CascadeModel:
             valid = (pos >= 0) & (pos < row_len)
             byte = packed.chunks[rows, np.clip(pos, 0, L - 1)]
             cls = np.where(valid, bc[byte], 0)
-            states = table[states, cls].astype(np.int64)
+            states = auto.lookup(states, cls).astype(np.int64)
             emit = (
-                (states >= auto.final_start)
+                auto.is_final(states)
                 & valid
                 & (pos >= row_emit)
                 & (pos < row_len)
@@ -832,7 +861,6 @@ class CascadeModel:
         idx = start_idx[:n_cand].astype(np.int64)
         rows = idx // L
         ps = idx % L
-        table = auto.table
         bc = auto.byte_class
         depth = auto.state_depth
         own = self.plan.own_pat
@@ -857,7 +885,7 @@ class CascadeModel:
             if act.size == 0:
                 break
             b = packed.chunks[rows[act], pos]
-            st = table[states[act], bc[b]].astype(np.int64)
+            st = auto.lookup(states[act], bc[b]).astype(np.int64)
             states[act] = st
             on_path = depth[st] == j + 1  # left the pure-prefix path?
             o = own[st]

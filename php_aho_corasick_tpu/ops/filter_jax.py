@@ -438,6 +438,86 @@ def verify_windows(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "n_classes", "n_dense", "stride", "win_len", "capacity", "n_hits",
+    ),
+)
+def verify_windows_compressed(
+    dense_flat: jax.Array,  # [D*C] int32 dense-bank rows
+    meta: jax.Array,  # [S-D] int32 packed (skip * EXC_PACK + exc_class + 1)
+    exc_target: jax.Array,  # [S-D] int32
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8
+    lengths: jax.Array,  # [B] int32
+    grid_idx: jax.Array,  # [>=n_hits] int32 b*M+m hits, INT32_MAX-padded
+    dense_final_start: jax.Array,  # scalar int32
+    final_start: jax.Array,  # scalar int32
+    n_classes: int,
+    n_dense: int,
+    stride: int,
+    win_len: int,
+    capacity: int,
+    n_hits: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compressed-table analog of :func:`verify_windows`: the per-step
+    walk is the fixed 3-gather compressed lookup
+    (ops/scan_jax.scan_states_compressed) and finality the two-range
+    predicate — this is what lets the sampled cascade (the fast engine)
+    run on byte-dense signature-scale sets whose dense ``[S, C]`` table
+    exceeds HBM (SURVEY §7; core/tables.CompressedAutomaton)."""
+    from ..core.tables import EXC_PACK
+
+    B, L = chunks.shape
+    M = -(-L // stride)
+    H = min(n_hits, grid_idx.shape[0])
+    grid_idx = grid_idx[:H]
+    W = win_len
+    active = grid_idx < INT32_MAX
+    g = jnp.where(active, grid_idx, 0)
+    b = g // M
+    w0 = (g % M) * stride - (stride - 1)
+
+    j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    base = b * L + w0
+    bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
+    byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
+
+    pos = w0[:, None] + j_idx
+    valid = (pos >= 0) & (pos < lengths[b][:, None]) & active[:, None]
+    cls = _classes(byte.astype(jnp.uint8), byte_class, used_bytes)
+    cls = jnp.where(valid, cls, 0)
+
+    D = jnp.int32(n_dense)
+    state = jnp.zeros((H,), jnp.int32)
+    flagged = jnp.zeros((H,), jnp.bool_)
+    for j in range(W):
+        c = cls[:, j]
+        sp = jnp.maximum(state - D, 0)
+        m = jnp.take(meta, sp)
+        tgt = jnp.take(exc_target, sp)
+        key = m % EXC_PACK - 1
+        skip = m // EXC_PACK
+        row = jnp.where(state < D, state, skip)
+        fb = jnp.take(dense_flat, row * n_classes + c)
+        state = jnp.where((state >= D) & (c == key), tgt, fb).astype(
+            jnp.int32
+        )
+        fin = (state >= final_start) | (
+            (state < D) & (state >= dense_final_start)
+        )
+        flagged |= fin & valid[:, j]
+    n_flagged = flagged.sum(dtype=jnp.int32)
+    (slot,) = jnp.nonzero(flagged, size=capacity, fill_value=INT32_MAX)
+    safe = jnp.minimum(slot, H - 1)
+    win_cell = jnp.where(
+        slot < INT32_MAX, jnp.take(grid_idx, safe), INT32_MAX
+    )
+    return win_cell, n_flagged
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "n_classes", "q", "offsets", "log2_bits", "salts", "shorts",
         "bloom_impl", "capacity",
     ),

@@ -42,37 +42,35 @@ SUB = 8  # Mosaic gather tile height
 
 
 def _vmem_kernel(salts, log2_rows, n_banks, table_ref, codes_ref, out_ref):
-    """Per [8,128] tile of codes: hash each salt to a word slot, resolve
-    (bank, lane) with a fori_loop over bank rows (dynamic-slice row
-    broadcast + lane take_along_axis + select — the only gather shape the
-    v5e Mosaic stack supports is the same-[8,128]-tile lane gather), AND
-    the probed words across salts."""
+    """Block-wide bank-select probe: hash the WHOLE [BLOCK_R, 128] block
+    of codes per salt, then fori_loop over bank rows — one dynamic-slice
+    row broadcast + lane take_along_axis + select per bank over the full
+    block.  The per-bank scalar work (dynamic slice addressing) amortizes
+    over BLOCK_R/8 tiles; a per-[8,128]-tile bank loop measured ~85
+    cycles/bank-step on v5e (probe3, docs/PERF_NOTES.md round 3) with the
+    slice overhead dominating."""
     shift = jnp.uint32(32 - log2_rows)
+    R = codes_ref.shape[0]
+    c = codes_ref[...]
+    acc_all = None
+    for p, salt in enumerate(salts):
+        h = (c.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+        slot = (h >> shift).astype(jnp.int32)
+        lane = slot & 127
+        bank = slot >> 7
 
-    def body(r, _):
-        c = codes_ref[pl.ds(r * SUB, SUB), :]
-        acc_all = None
-        for p, salt in enumerate(salts):
-            h = (c.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
-            slot = (h >> shift).astype(jnp.int32)
-            lane = slot & 127
-            bank = slot >> 7
-
-            def bank_body(b, acc):
-                row = jnp.broadcast_to(
-                    table_ref[pl.ds(p * n_banks + b, 1), :], (SUB, 128)
-                )
-                g = jnp.take_along_axis(row, lane, axis=1)
-                return jnp.where(bank == b, g, acc)
-
-            acc = jax.lax.fori_loop(
-                0, n_banks, bank_body, jnp.zeros((SUB, 128), jnp.int32)
+        def bank_body(b, acc, lane=lane, bank=bank, p=p):
+            row = jnp.broadcast_to(
+                table_ref[pl.ds(p * n_banks + b, 1), :], (R, 128)
             )
-            acc_all = acc if acc_all is None else (acc_all & acc)
-        out_ref[pl.ds(r * SUB, SUB), :] = acc_all
-        return 0
+            g = jnp.take_along_axis(row, lane, axis=1)
+            return jnp.where(bank == b, g, acc)
 
-    jax.lax.fori_loop(0, codes_ref.shape[0] // SUB, body, 0)
+        acc = jax.lax.fori_loop(
+            0, n_banks, bank_body, jnp.zeros((R, 128), jnp.int32)
+        )
+        acc_all = acc if acc_all is None else (acc_all & acc)
+    out_ref[...] = acc_all
 
 
 @functools.partial(

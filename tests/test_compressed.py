@@ -165,7 +165,9 @@ def test_compressed_engines_guarded():
     m = Matcher([{"value": "abc"}], cfg)
     with pytest.raises(ValueError):
         m.match("zabcz", backend="device")
-    assert Matcher([{"value": "abc"}], FORCED).cascade_model is None
+    # the cascade is ALLOWED on compressed tables since round 3 (the
+    # window verifier walks the compressed lookup)
+    assert Matcher([{"value": "abc"}], FORCED).cascade_model is not None
 
 
 def test_compressed_save_load(tmp_path):
@@ -261,3 +263,96 @@ def test_compressed_sharded_parity():
     arrD = mD.match_arrays(docs)
     for k in ("doc", "pos", "start_postion", "pattern"):
         assert (arrC[k] == arrD[k]).all()
+
+
+# --------------------------------------- compressed-table cascade (round 3)
+
+def _brute(patterns, text):
+    out = []
+    for pid, p in enumerate(patterns):
+        start = text.find(p)
+        while start != -1:
+            out.append((start + len(p), -len(p), pid))
+            start = text.find(p, start + 1)
+    out.sort()
+    return [(pos, pid) for pos, _, pid in out]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_compressed_cascade_parity_fuzz(seed):
+    """The sampled cascade forced onto a compressed table (device window
+    verify through the 3-gather walk) must match brute force exactly."""
+    rng = random.Random(300 + seed)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(rng.randint(10, 20)))
+        for _ in range(rng.randint(4, 40))
+    })
+    if seed % 2:
+        patterns += [b"zq"]
+    text = bytearray(rng.choice(b"abcdef") for _ in range(6000))
+    for _ in range(12):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     table_format="compressed", cascade_mode="sampled",
+                     chunk_len=512, match_capacity=64)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    assert m.table_format == "compressed"
+    cm = m.cascade_model
+    assert cm is not None and cm.device_verify_ok
+    got = [(r["pos"], r["keyIdx"]) for r in m.match(text)]
+    assert got == _brute(patterns, text)
+
+
+def test_compressed_cascade_equals_dense_cascade():
+    rng = random.Random(31)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(64)
+    })
+    docs = []
+    for _ in range(5):
+        d = bytearray(rng.choice(b"abcdef") for _ in range(4000))
+        p = rng.choice(patterns)
+        d[100:100 + len(p)] = p
+        docs.append(bytes(d))
+    specs = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    base = dict(backend="device", engine="cascade", auto_shard=False,
+                cascade_mode="sampled", chunk_len=512, match_capacity=64)
+    mC = Matcher(specs, ScanConfig(table_format="compressed", **base))
+    mD = Matcher(specs, ScanConfig(**base))
+    assert mC.match_many(docs) == mD.match_many(docs)
+
+
+def test_compressed_auto_picks_cascade_for_large_scans():
+    rng = random.Random(33)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(64)
+    })
+    cfg = ScanConfig(backend="device", table_format="compressed",
+                     auto_shard=False, cascade_min_bytes=1024)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    assert m._pick_engine(1 << 20) == "cascade"
+    assert m._pick_engine(16) == "dfa"
+
+
+def test_compressed_cascade_vmem_bloom_impl():
+    """Two-stage VMEM filter + compressed window verify, end to end."""
+    rng = random.Random(35)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(14)) for _ in range(32)
+    })
+    text = bytearray(rng.choice(b"abcdef") for _ in range(5000))
+    for _ in range(6):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     table_format="compressed", cascade_mode="sampled",
+                     bloom_impl="pallas_vmem", chunk_len=512,
+                     cascade_vmem_bloom_bytes=1 << 21, match_capacity=64)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    got = [(r["pos"], r["keyIdx"]) for r in m.match(text)]
+    assert got == _brute(patterns, text)
