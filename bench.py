@@ -23,6 +23,13 @@ import subprocess
 import sys
 import time
 
+# persistent executable cache: Mosaic/XLA cold compiles through the axon
+# remote helper cost ~14 min PER PROCESS (probe3/4, docs/PERF_NOTES.md
+# round 3); cached executables skip the helper entirely on re-runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import numpy as np
 
 REFERENCE_GBPS = 2.0 * 1024**2 / 0.174326 / 1e9  # ~0.01203 GB/s

@@ -104,11 +104,14 @@ class ScanConfig:
     #: with engine="auto", scans at least this large prefer the cascade.
     cascade_min_bytes: int = 1 << 20
 
-    #: bloom lookup implementation: "auto", "take", "matmul", "pallas",
-    #: "pallas_vmem".  "auto" selects the lane-partitioned VMEM Pallas
-    #: kernel ("pallas_vmem") on TPU whenever the planner could build one
-    #: (ops/filter_pallas.bloom_word_vmem — measured ~an order of magnitude
-    #: past the XLA gather wall, docs/PERF_NOTES.md round 3), else "take".
+    #: bloom lookup implementation: "auto", "take", "pallas",
+    #: "pallas_vmem".  "auto" selects the bank-select VMEM Pallas kernel
+    #: ("pallas_vmem") on TPU whenever the planner could build one
+    #: (ops/filter_pallas.bloom_word_vmem — measured ~4x past the XLA
+    #: gather wall, docs/PERF_NOTES.md round 3), else "take".  (A one-hot
+    #: f32 matmul lookup was tried and PRUNED in round 3: inexact on the
+    #: v5e MXU — bf16 mantissa rounding of packed halves => missed
+    #: matches — and HBM-bound on the materialized one-hot.)
     bloom_impl: str = "auto"
 
     #: byte budget for the lane-partitioned VMEM bloom table ([N, 128]

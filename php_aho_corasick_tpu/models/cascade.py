@@ -485,13 +485,6 @@ class CascadeModel:
                     # order of magnitude (docs/PERF_NOTES.md)
                     return "pallas_vmem"
             return "take"  # measured per-backend default; PERF_NOTES.md
-        if impl == "matmul":
-            import jax
-
-            if jax.default_backend() == "tpu":
-                # measured: the one-hot f32 matmul lookup is INEXACT on the
-                # v5e MXU (bloom false negatives = missed matches) — refuse
-                return "take"
         if impl == "pallas_vmem" and self.plan.vmem_words is None:
             return "take"  # planner found no selective VMEM-sized bloom
         return impl

@@ -65,24 +65,6 @@ def bloom_hit_take(words: jax.Array, slots: jax.Array) -> jax.Array:
     return (w >> (slots & 31)) & 1
 
 
-def bloom_hit_matmul(words: jax.Array, slots: jax.Array) -> jax.Array:
-    """Word fetch via one-hot f32 matmul (MXU — no gather unit).
-
-    f32 mantissa holds 24 bits exactly, so each 32-bit bloom word is split
-    into two 16-bit halves and both are fetched in one [.., W] @ [W, 2]
-    product."""
-    shape = slots.shape
-    flat = slots.reshape(-1)
-    W = words.shape[0]
-    lo = (words & 0xFFFF).astype(jnp.float32)
-    hi = ((words >> 16) & 0xFFFF).astype(jnp.float32)
-    halves = jnp.stack([lo, hi], axis=1)  # [W, 2]
-    onehot = jax.nn.one_hot(flat >> 5, W, dtype=jnp.float32)  # [N, W]
-    got = onehot @ halves  # [N, 2]
-    word = got[:, 0].astype(jnp.int32) | (got[:, 1].astype(jnp.int32) << 16)
-    return (((word >> (flat & 31)) & 1)).reshape(shape)
-
-
 def short_pattern_mask(
     chunks: jax.Array, shorts: Sequence[bytes]
 ) -> jax.Array:
@@ -551,9 +533,7 @@ def filter_candidates(
     host verification)."""
     B, L = chunks.shape
     cls = _classes(chunks, byte_class, used_bytes)
-    if bloom_impl == "matmul":
-        hit = bloom_hit_matmul
-    elif bloom_impl == "pallas":
+    if bloom_impl == "pallas":
         from .filter_pallas import bloom_hit_pallas
 
         interpret = jax.default_backend() != "tpu"

@@ -130,14 +130,14 @@ def test_cascade_shorts_exact():
     assert got == brute_force([b"ab", b"b", b"longerpat"], b"abba longerpat!")
 
 
-def test_cascade_matmul_bloom_impl():
+def test_cascade_take_bloom_impl_forced():
     rng = random.Random(3)
     patterns = [b"pattern!", b"needle12"]
     text = bytearray(rng.choice(b"patern!ledi12") for _ in range(3000))
     text[100:108] = b"pattern!"
     text[2000:2008] = b"needle12"
     text = bytes(text)
-    got = run_cascade(patterns, text, bloom_impl="matmul")
+    got = run_cascade(patterns, text, bloom_impl="take")
     assert got == brute_force(patterns, text)
 
 
