@@ -1,22 +1,34 @@
 #!/usr/bin/env python
 """Signature-scale benchmark (BASELINE.json config 4): 1M needles
-(virus-signature style, hex alphabet), HBM-resident transition table,
-one chip.
+(virus-signature style), HBM-resident transition table, one chip.
 
-At this scale k-gram composition exceeds any budget and anchored blooms
-saturate, but the *sampled* cascade holds: a 2-probe positional bloom keeps
-the filter selective at ~9M (gram, alignment) entries, and candidate
-windows verify on-device.  The dense 1-gram DFA remains the fallback
-comparison (gather-bound floor).  Scaling beyond one chip is the
-data-parallel mesh story (bench_scaling.py).
+Two alphabet regimes:
+
+* ``--alphabet hex`` (default): 16-symbol signatures — the dense table
+  holds (~12M states x 17 classes) and the sampled cascade's 2-probe
+  positional bloom keeps the filter selective at ~9M (gram, alignment)
+  entries with on-device window verification.
+* ``--alphabet byte``: full-256-byte signatures — the dense [S, C] table
+  would be ~16 GB, so finalize auto-selects the COMPRESSED format
+  (dense-bank + single-exception rows) and the cascade verifies windows
+  through the 3-gather compressed walk (round 3; SURVEY §7 "table memory
+  at signature scale").
+
+The 1-gram DFA remains the fallback comparison (gather-bound floor).
+Scaling beyond one chip is the data-parallel mesh story
+(bench_scaling.py).
 
   python benchmarks/bench_signatures.py [--needles 1000000] [--mib 64]
+      [--alphabet hex|byte]
 """
 
 import argparse
 import os as _os
 import sys as _sys
 
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import time
 
@@ -28,17 +40,20 @@ def main():
     ap.add_argument("--needles", type=int, default=1_000_000)
     ap.add_argument("--needle-len", type=int, default=16)
     ap.add_argument("--mib", type=int, default=64)
+    ap.add_argument("--alphabet", choices=("hex", "byte"), default="hex")
     args = ap.parse_args()
 
     from php_aho_corasick_tpu import Matcher, ScanConfig, native
     from php_aho_corasick_tpu.ops.matches import pack_documents
 
     rng = np.random.default_rng(7)
-    hexmap = np.frombuffer(b"0123456789abcdef", np.uint8)
-    raw = hexmap[
-        rng.integers(0, 16, (args.needles, args.needle_len), dtype=np.uint8)
-    ]
-    patterns = [bytes(raw[i]) for i in range(args.needles)]
+    if args.alphabet == "hex":
+        amap = np.frombuffer(b"0123456789abcdef", np.uint8)
+        draw = lambda n: amap[rng.integers(0, 16, n, dtype=np.uint8)]  # noqa: E731
+    else:
+        draw = lambda n: rng.integers(0, 256, n, dtype=np.uint8)  # noqa: E731
+    raw = draw((args.needles, args.needle_len))
+    patterns = list({bytes(raw[i]) for i in range(args.needles)})
 
     t0 = time.time()
     cfg = ScanConfig(backend="device", chunk_len=4096)
@@ -49,18 +64,18 @@ def main():
     print(
         f"build: {build_s:.1f}s  states={auto.n_states:,} "
         f"table={auto.table_bytes / 2**20:.0f} MiB "
-        f"(native={native.available()})"
+        f"format={m.table_format} (native={native.available()})"
     )
 
     n_bytes = args.mib * 2**20
-    corpus = bytearray(hexmap[rng.integers(0, 16, n_bytes, dtype=np.uint8)])
+    corpus = bytearray(draw(n_bytes))
     planted = 0
     doc_sz = 2**20
     for j in range(0, n_bytes - 16, max(n_bytes // 200, 1)):
         if j % doc_sz > doc_sz - args.needle_len:
             continue  # would straddle a document boundary (docs are
             # independent; such a plant legitimately cannot match)
-        corpus[j : j + 16] = patterns[j % args.needles]
+        corpus[j : j + args.needle_len] = patterns[j % len(patterns)]
         planted += 1
     docs = [bytes(corpus[i : i + doc_sz]) for i in range(0, n_bytes, doc_sz)]
 
