@@ -111,7 +111,7 @@ def main():
             cap_hits = max(2048, _next_pow2(8 * est_hits // nd))
 
             def launch():
-                cells, nfs, gh, gf = sharded_sampled_verified(
+                cells, nfs, gh, gf, _gc = sharded_sampled_verified(
                     mesh, cm, ch, ln, cap_hits=cap_hits, cap_flagged=2048,
                 )
                 stats = np.asarray(jnp.stack([gh, gf]))

@@ -805,17 +805,16 @@ class Matcher:
             state = {}
 
             def launch(cap_a, cap_b):
-                cells, nfs, gh, gf = sharded_sampled_verified(
+                cells, nfs, gh, gf, gc = sharded_sampled_verified(
                     mesh, cm, chunks, lengths, cap_a, cap_b,
                     collect=collect,
                 )
                 state["nfs"] = np.asarray(nfs)
                 # pmax scalars decide the retry (replicated, one fetch)
-                stats = np.asarray(jnp.stack([gh, gf]))
-                n_hits = int(stats[0, 1])
-                # sharded path runs the single-stage take filter: coarse
-                # count == hit count (see CascadeModel.adaptive_chain)
-                return cells, n_hits, int(stats[1, 1]), n_hits
+                stats = np.asarray(jnp.stack([gh, gf, gc]))
+                return cells, int(stats[0, 1]), int(stats[1, 1]), int(
+                    stats[2, 1]
+                )
 
             cells, _ = cm.adaptive_chain(launch)
             cells2d = np.asarray(cells)

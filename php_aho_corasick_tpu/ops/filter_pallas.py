@@ -74,7 +74,8 @@ def _vmem_kernel(salts, log2_rows, n_banks, table_ref, codes_ref, out_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("salts", "log2_rows", "interpret")
+    jax.jit,
+    static_argnames=("salts", "log2_rows", "interpret", "force_pallas"),
 )
 def bloom_word_vmem(
     table: jax.Array,  # [len(salts) * n_banks, 128] int32 per-probe banks
@@ -82,6 +83,7 @@ def bloom_word_vmem(
     salts: tuple,  # k probe salts (one bank table each)
     log2_rows: int,  # log2 of words per probe table (n_banks * 128)
     interpret: bool = False,
+    force_pallas: bool = False,  # tests: run the kernel body interpreted
 ) -> jax.Array:
     """AND over ``salts`` of ``table_p[hash_salt_p(code)]`` per code.
 
@@ -96,12 +98,40 @@ def bloom_word_vmem(
     n = flat.shape[0]
     n_banks = (1 << log2_rows) // 128
     assert table.shape == (len(salts) * n_banks, 128)
+    if interpret and not force_pallas:
+        # pure-XLA equivalent for CPU/test runs: jax's pallas interpreter
+        # cannot run this kernel under shard_map (its per-primitive vma
+        # checks reject kernel constants), and off-TPU the XLA gather is
+        # the faster path anyway.  The kernel body itself is covered by
+        # the force_pallas interpret-mode tests.
+        N = 1 << log2_rows
+        words_flat = table.reshape(-1)
+        acc = None
+        for p, salt in enumerate(salts):
+            h = (flat.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(
+                KNUTH
+            )
+            rows = (h >> jnp.uint32(32 - log2_rows)).astype(jnp.int32)
+            got = jnp.take(words_flat, p * N + rows)
+            acc = got if acc is None else (acc & got)
+        return acc.reshape(shape)
     cols = 128
     rows = -(-n // cols)
     rows_pad = -(-rows // BLOCK_R) * BLOCK_R
     padded = jnp.zeros((rows_pad * cols,), jnp.int32).at[:n].set(flat)
     grid_codes = padded.reshape(rows_pad, cols)
 
+    # inside shard_map the output's varying-mesh-axes set must be declared
+    # explicitly on the ShapeDtypeStruct (the word follows its code's vma)
+    try:
+        vma = jax.typeof(grid_codes).vma
+    except AttributeError:  # pragma: no cover - older jax
+        vma = None
+    out_sds = (
+        jax.ShapeDtypeStruct((rows_pad, cols), jnp.int32, vma=vma)
+        if vma
+        else jax.ShapeDtypeStruct((rows_pad, cols), jnp.int32)
+    )
     out = pl.pallas_call(
         functools.partial(_vmem_kernel, salts, log2_rows, n_banks),
         grid=(rows_pad // BLOCK_R,),
@@ -115,7 +145,7 @@ def bloom_word_vmem(
         ],
         out_specs=pl.BlockSpec((BLOCK_R, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, cols), jnp.int32),
+        out_shape=out_sds,
         interpret=interpret,
     )(table, grid_codes)
     return out.reshape(-1)[:n].reshape(shape)

@@ -505,6 +505,91 @@ def _sharded_call_sampled_verified(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "n_classes", "q", "stride", "log2_rows", "salts",
+        "log2_words", "fine_salts", "shorts", "win_len", "cap_hits",
+        "cap_flagged", "cap_coarse", "interpret", "collect",
+    ),
+)
+def _sharded_call_sampled_verified_vmem(
+    vmem_table,
+    words,
+    table_flat,
+    byte_class,
+    used_bytes,
+    chunks,
+    lengths,
+    min_long_len,
+    final_start,
+    *,
+    mesh: Mesh,
+    n_classes: int,
+    q: int,
+    stride: int,
+    log2_rows: int,
+    salts,
+    log2_words: int,
+    fine_salts,
+    shorts,
+    win_len: int,
+    cap_hits: int,
+    cap_flagged: int,
+    cap_coarse: int,
+    interpret: bool,
+    collect: bool = False,
+):
+    """Two-stage VMEM-bloom edition of the chained shard pass: the coarse
+    Mosaic bank-select kernel + HBM fine probe run per chip inside the
+    shard_map body (the bank tables replicate like every other automaton
+    array).  Extra replicated output: the ``[psum, pmax]`` of the coarse
+    survivor counts (its capacity must also not overflow)."""
+    from ..ops.filter_jax import filter_hits_sampled_vmem, verify_windows
+
+    data, rep = P(DATA_AXIS), P()
+    buf_spec = rep if collect else data
+
+    def local_fn(vt, w, tf, bc, ub, ch, ln, mll, fs):
+        idx, _lw, _sw, n, nc = filter_hits_sampled_vmem(
+            vt, w, ch, ln, mll,
+            q=q, stride=stride, log2_rows=log2_rows, salts=salts,
+            log2_words=log2_words, fine_salts=fine_salts, shorts=shorts,
+            capacity=cap_hits, cap_coarse=cap_coarse, interpret=interpret,
+        )
+        cells, nf = verify_windows(
+            tf, bc, ub, ch, ln, idx, fs,
+            n_classes=n_classes, stride=stride, win_len=win_len,
+            capacity=cap_flagged, n_hits=cap_hits,
+        )
+        shard = jax.lax.axis_index(DATA_AXIS)
+        local_cells = ch.shape[0] * (-(-ch.shape[1] // stride))
+        cells = jnp.where(
+            cells < INT32_MAX, cells + shard * local_cells, cells
+        )
+        _, gstats_hits = _globalize_counts(n)
+        nfs, gstats_flagged = _globalize_counts(nf)
+        _, gstats_coarse = _globalize_counts(nc)
+        return (
+            _maybe_collect(cells, collect),
+            nfs,
+            gstats_hits,
+            gstats_flagged,
+            gstats_coarse,
+        )
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, data, data, rep, rep),
+        out_specs=(buf_spec, rep, rep, rep, rep),
+    )
+    return fn(
+        vmem_table, words, table_flat, byte_class, used_bytes, chunks,
+        lengths, min_long_len, final_start,
+    )
+
+
 def sharded_sampled_verified(
     mesh: Mesh,
     cascade_model,
@@ -516,13 +601,44 @@ def sharded_sampled_verified(
 ):
     """Mesh wrapper for the chained sampled-filter + window-verify pass.
     Returns ``(cells [n_shards, capB] global grid ids, n_flagged
-    [n_shards] replicated, gstats_hits [2], gstats_flagged [2])`` where
-    each gstats is the replicated ``[psum, pmax]`` of that stage's
-    counts."""
+    [n_shards] replicated, gstats_hits [2], gstats_flagged [2],
+    gstats_coarse [2])`` where each gstats is the replicated ``[psum,
+    pmax]`` of that stage's counts (coarse == hits on the single-stage
+    take path).  Dispatches the two-stage VMEM filter per chip when the
+    model's bloom_impl resolves to it."""
     plan = cascade_model.plan
     dev = cascade_model.device_arrays
     dd = cascade_model.dense_model.device_arrays
-    return _sharded_call_sampled_verified(
+    if cascade_model.bloom_impl() == "pallas_vmem":
+        import jax as _jax
+
+        return _sharded_call_sampled_verified_vmem(
+            dev["vmem_table"],
+            dev["sampled_words"],
+            dd["table_flat"],
+            dev["byte_class"],
+            dev["used_bytes"],
+            chunks,
+            lengths,
+            dev["min_long_len"],
+            dd["final_start"],
+            mesh=mesh,
+            n_classes=cascade_model.auto.n_classes,
+            q=plan.q,
+            stride=plan.stride,
+            log2_rows=plan.vmem_log2_rows,
+            salts=plan.vmem_salts,
+            log2_words=plan.log2_words,
+            fine_salts=plan.sampled_salts,
+            shorts=plan.shorts,
+            win_len=cascade_model.win_len,
+            cap_hits=cap_hits,
+            cap_flagged=cap_flagged,
+            cap_coarse=cascade_model._cap_coarse,
+            interpret=_jax.default_backend() != "tpu",
+            collect=collect,
+        )
+    cells, nfs, gh, gf = _sharded_call_sampled_verified(
         dev["sampled_words"],
         dd["table_flat"],
         dev["byte_class"],
@@ -543,6 +659,7 @@ def sharded_sampled_verified(
         cap_flagged=cap_flagged,
         collect=collect,
     )
+    return cells, nfs, gh, gf, gh
 
 
 def sharded_filter_hits_sampled(

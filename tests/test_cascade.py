@@ -483,8 +483,14 @@ def test_vmem_bloom_word_matches_host():
     table = jnp.asarray(words.reshape(k * N // 128, 128))
     got = np.asarray(
         bloom_word_vmem(table, jnp.asarray(codes), salts, log2_rows,
+                        interpret=True, force_pallas=True)
+    )
+    # the XLA-equivalent interpret path must agree bit-for-bit too
+    got_xla = np.asarray(
+        bloom_word_vmem(table, jnp.asarray(codes), salts, log2_rows,
                         interpret=True)
     )
+    np.testing.assert_array_equal(got, got_xla)
     acc = None
     for p, salt in enumerate(salts):
         h = (codes.astype(np.uint64) ^ salt) * KNUTH & 0xFFFFFFFF
@@ -629,3 +635,32 @@ def test_sampled_vmem_launch_device_pipelined():
             want.append((di, pos, pid))
     got = list(zip(docs_a.tolist(), ends_a.tolist(), pids_a.tolist()))
     assert got == want
+
+
+def test_sampled_vmem_sharded_parity():
+    """The two-stage VMEM filter inside the chained shard pass (per-chip
+    Mosaic kernel + fine probe + window verify) over the 8-device mesh."""
+    rng = random.Random(88)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(48)
+    })
+    docs = []
+    for _ in range(6):
+        d = bytearray(rng.choice(b"abcdef") for _ in range(5000))
+        for _ in range(4):
+            p = rng.choice(patterns)
+            pos = rng.randrange(0, len(d) - len(p))
+            d[pos : pos + len(p)] = p
+        docs.append(bytes(d))
+    pats = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=True,
+                     chunk_len=512, match_capacity=32,
+                     cascade_mode="sampled", bloom_impl="pallas_vmem",
+                     cascade_vmem_bloom_bytes=1 << 21)
+    m = Matcher(pats, cfg)
+    assert m.cascade_model.bloom_impl() == "pallas_vmem"
+    res = m.match_many(docs)
+    for doc, recs in zip(docs, res):
+        assert [(r["pos"], r["keyIdx"]) for r in recs] == brute_force(
+            patterns, doc
+        )
