@@ -1,14 +1,17 @@
 """Round-3 headline breakdown: stage timing of the two-stage VMEM filter
-chain on the 2048x16-needle 128 MiB workload (pipelined reps, one
-trailing fetch per batch — the bench methodology).
+chain on the 2048x16-needle 128 MiB workload, PIPELINED (8 back-to-back
+launches, one trailing fetch) so the ~25 ms tunnel round trip amortizes.
 
-Stages timed independently (each own jit chain, 3 reps, min):
-  codes      sampled_gram_codes only
-  coarse     codes + bloom_word_vmem (the Mosaic kernel)
+Stages:
+  codes      sampled_codes_best (the planes formulation)
+  kernel     bloom_word_vmem on precomputed codes
   filter     full filter_hits_sampled_vmem (+ compactions + fine probe)
-  chain      filter + verify_windows (= launch_device)
+  verify     verify_windows on a fixed filter output
+  chain      launch_device (filter + verify chained)
+  issue      host-side time to ISSUE 8 chains (no fetch) — dispatch cost
 
-Self-bounded; uses the persistent compile cache.
+Self-bounded; persistent compile cache; capacities settled via
+run_arrays before timing.
 """
 from __future__ import annotations
 
@@ -25,14 +28,17 @@ import random
 
 import numpy as np
 
+REPS = 8
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     from php_aho_corasick_tpu import Matcher, ScanConfig
-    from php_aho_corasick_tpu.ops.filter_jax import sampled_gram_codes
+    from php_aho_corasick_tpu.ops import filter_jax as fj
     from php_aho_corasick_tpu.ops.filter_pallas import bloom_word_vmem
+    from php_aho_corasick_tpu.ops.filter_jax import verify_windows
     from php_aho_corasick_tpu.ops.matches import pack_documents
 
     print("devices:", jax.devices(), flush=True)
@@ -55,64 +61,67 @@ def main():
     packed = pack_documents(docs, cfg.chunk_len, m.automaton.max_len - 1)
     ch = jnp.asarray(packed.chunks)
     ln = jnp.asarray(packed.lengths)
+    ef = jnp.asarray(packed.emit_from)
     dev = cm.device_arrays
+    dd = cm.dense_model.device_arrays
 
-    def timed(name, fn, reps=3):
-        fn()  # warm/compile
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            fn()
-            times.append(time.time() - t0)
-        dt = min(times)
-        print(f"{name:8s} {dt*1e3:7.1f} ms  ({total/dt/1e9:.3f} GB/s)",
-              flush=True)
-        return dt
-
-    # codes only
-    def run_codes():
-        c = sampled_gram_codes(ch, p.q, p.stride)
-        return float(jnp.sum(c[0, :1]))
-
-    timed("codes", run_codes)
-
-    # codes + coarse kernel
-    def run_coarse():
-        c = sampled_gram_codes(ch, p.q, p.stride)
-        w = bloom_word_vmem(dev["vmem_table"], c, p.vmem_salts,
-                            p.vmem_log2_rows)
-        return float(jnp.sum(w[0, :1]))
-
-    timed("coarse", run_coarse)
-
-    # full filter
-    cap_a, _ = cm.learned_caps
-
-    def run_filter():
-        idx, lw, sw, n, nc = cm.scan_hits_sampled(ch, ln, cap_a)
-        return np.asarray(jnp.stack([n, nc]))
-
-    timed("filter", run_filter)
-
-    # full chain (filter + verify), pipelined x4 with one trailing fetch
+    # settle adaptive capacities through the production path
+    for _ in range(2):
+        cm.run_arrays(packed, cfg.match_capacity, dev_inputs=(ch, ln, ef))
     cap_a, cap_b = cm.learned_caps
-
-    def run_chain():
-        scalars = []
-        for _ in range(4):
-            _c, n_d, nf_d, nc_d = cm.launch_device(ch, ln, cap_a, cap_b)
-            scalars.extend((n_d, nf_d, nc_d))
-        flat = np.asarray(jnp.stack(scalars))
-        assert (flat[0::3] <= cap_a).all() and (flat[2::3] <= cm._cap_coarse).all()
-        return flat
-
-    run_chain()
-    t0 = time.time()
-    run_chain()
-    dt = (time.time() - t0) / 4
-    print(f"{'chain':8s} {dt*1e3:7.1f} ms/pass pipelined "
-          f"({total/dt/1e9:.3f} GB/s)", flush=True)
     print(f"caps: a={cap_a} b={cap_b} coarse={cm._cap_coarse}", flush=True)
+
+    def piped(name, fn, fetch, reps=REPS):
+        fetch(fn())  # warm
+        t0 = time.time()
+        vals = [fn() for _ in range(reps)]
+        fetch(vals[-1])
+        per = (time.time() - t0) / reps
+        print(f"{name:8s} {per*1e3:7.1f} ms/launch ({total/per/1e9:.3f} GB/s)",
+              flush=True)
+        return per
+
+    fetch_first = lambda v: float(jnp.reshape(v, (-1,))[0])  # noqa: E731
+
+    piped("codes", lambda: fj.sampled_codes_best(ch, p.q, p.stride),
+          fetch_first)
+
+    codes = fj.sampled_codes_best(ch, p.q, p.stride)
+    codes.block_until_ready()
+    piped("kernel", lambda: bloom_word_vmem(
+        dev["vmem_table"], codes, p.vmem_salts, p.vmem_log2_rows),
+        fetch_first)
+
+    piped("filter", lambda: cm.scan_hits_sampled(ch, ln, cap_a)[3],
+          fetch_first)
+
+    idx = cm.scan_hits_sampled(ch, ln, cap_a)[0]
+    idx.block_until_ready()
+
+    def run_verify():
+        cells, nf = verify_windows(
+            dd["table_flat"], dev["byte_class"], dev["used_bytes"],
+            ch, ln, idx, dd["final_start"],
+            n_classes=cm.auto.n_classes, stride=p.stride,
+            win_len=cm.win_len, capacity=cap_b, n_hits=cap_a,
+        )
+        return nf
+
+    piped("verify", run_verify, fetch_first)
+
+    def chain():
+        _c, n_d, nf_d, nc_d = cm.launch_device(ch, ln, cap_a, cap_b)
+        return jnp.stack([n_d, nf_d, nc_d])
+
+    piped("chain", chain, lambda v: np.asarray(v))
+
+    # dispatch-only: issue 8 chains, no fetch at all
+    t0 = time.time()
+    outs = [chain() for _ in range(REPS)]
+    issue = (time.time() - t0) / REPS
+    print(f"issue    {issue*1e3:7.1f} ms/launch (host-side, no fetch)",
+          flush=True)
+    np.asarray(outs[-1])  # drain before exit
     return 0
 
 

@@ -135,6 +135,60 @@ def sampled_gram_codes(
     return code
 
 
+def sampled_gram_codes_planes(
+    chunks: jax.Array, q: int, stride: int
+) -> jax.Array:
+    """:func:`sampled_gram_codes` via *cell-aligned word planes* — exact
+    same codes, ~3x faster on TPU (measured: 16.5 -> 5.7 ms per 128 MiB,
+    benchmarks/probe_planes2.py).
+
+    The [B, M, stride] reshape in the general path has a minor dim of
+    ``stride`` < 128, so every materialized intermediate is physically
+    (8,128)-tiled at up to 16x padding — that tiling tax, not the
+    arithmetic, was 36% of the round-2 filter cost.  When ``stride % 4 ==
+    0`` and ``stride | L``, cell ``m``'s q gram bytes live entirely in
+    words ``(stride/4)*m + j4`` for ``j4 in 0..(q-1)//4`` — each plane
+    ``P_j4[b, m]`` is laid out exactly like the grid, so code assembly is
+    pure elementwise byte-extract/multiply-add over [B, M] arrays with no
+    sub-128 minor dim anywhere.  Word packing itself is 4 strided lane
+    slices (cheap relayout, measured)."""
+    import numpy as np
+
+    B, L = chunks.shape
+    assert stride % 4 == 0 and L % stride == 0, "planes path gate"
+    spc = stride // 4
+    M = L // stride
+    words = None
+    for k in range(4):
+        part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
+        words = part if words is None else (words | part)
+    n_planes = (q - 1) // 4 + 1
+    planes = []
+    for j4 in range(n_planes):
+        shift, idx = divmod(j4, spc)
+        pl = words[:, idx::spc] if spc > 1 else words
+        if shift:
+            pl = jnp.concatenate(
+                [pl[:, shift:], jnp.zeros((B, shift), pl.dtype)], axis=1
+            )
+        planes.append(pl)
+    code = jnp.zeros((B, M), jnp.uint32)
+    for j in range(q):
+        j4, k = divmod(j, 4)
+        w = np.uint32(pow(GRAM_BASE, q - 1 - j, 1 << 32))
+        byte = (planes[j4] >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+        code = code + byte * w
+    return code.astype(jnp.int32)
+
+
+def sampled_codes_best(chunks: jax.Array, q: int, stride: int) -> jax.Array:
+    """Dispatch to the planes formulation when its alignment gate holds."""
+    L = chunks.shape[1]
+    if stride % 4 == 0 and L % stride == 0:
+        return sampled_gram_codes_planes(chunks, q, stride)
+    return sampled_gram_codes(chunks, q, stride)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -183,7 +237,7 @@ def filter_hits_sampled(
     ``n_hits > capacity``."""
     B, L = chunks.shape
     M = -(-L // stride)
-    code = sampled_gram_codes(chunks, q, stride)
+    code = sampled_codes_best(chunks, q, stride)
     # one probe per salt, alignment masks AND-combined: a true gram has
     # bit j set at every salted slot by construction, while stray bits
     # from fill must coincide across independent probes (rate^n_probes) —
@@ -289,7 +343,7 @@ def filter_hits_sampled_vmem(
 
     B, L = chunks.shape
     M = -(-L // stride)
-    code = sampled_gram_codes(chunks, q, stride)
+    code = sampled_codes_best(chunks, q, stride)
     w = bloom_word_vmem(table, code, salts, log2_rows, interpret=interpret)
     w = jnp.where(min_long_len > 0, w, 0)
 

@@ -75,7 +75,9 @@ def _vmem_kernel(salts, log2_rows, n_banks, table_ref, codes_ref, out_ref):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("salts", "log2_rows", "interpret", "force_pallas"),
+    static_argnames=(
+        "salts", "log2_rows", "interpret", "force_pallas", "block_r"
+    ),
 )
 def bloom_word_vmem(
     table: jax.Array,  # [len(salts) * n_banks, 128] int32 per-probe banks
@@ -84,6 +86,7 @@ def bloom_word_vmem(
     log2_rows: int,  # log2 of words per probe table (n_banks * 128)
     interpret: bool = False,
     force_pallas: bool = False,  # tests: run the kernel body interpreted
+    block_r: int = BLOCK_R,  # grid-step height (rows of 128 codes)
 ) -> jax.Array:
     """AND over ``salts`` of ``table_p[hash_salt_p(code)]`` per code.
 
@@ -117,7 +120,7 @@ def bloom_word_vmem(
         return acc.reshape(shape)
     cols = 128
     rows = -(-n // cols)
-    rows_pad = -(-rows // BLOCK_R) * BLOCK_R
+    rows_pad = -(-rows // block_r) * block_r
     padded = jnp.zeros((rows_pad * cols,), jnp.int32).at[:n].set(flat)
     grid_codes = padded.reshape(rows_pad, cols)
 
@@ -134,16 +137,16 @@ def bloom_word_vmem(
     )
     out = pl.pallas_call(
         functools.partial(_vmem_kernel, salts, log2_rows, n_banks),
-        grid=(rows_pad // BLOCK_R,),
+        grid=(rows_pad // block_r,),
         in_specs=[
             pl.BlockSpec(
                 (len(salts) * n_banks, 128), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((BLOCK_R, 128), lambda i: (i, 0),
+            pl.BlockSpec((block_r, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_R, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_r, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_sds,
         interpret=interpret,

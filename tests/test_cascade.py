@@ -270,6 +270,41 @@ def test_sampled_gram_codes_match_host():
             assert got[b, m] == want, (b, m)
 
 
+def test_sampled_gram_codes_planes_exact():
+    """The cell-aligned word-plane formulation must produce bit-identical
+    codes to the general reshape path wherever its alignment gate holds
+    (stride % 4 == 0 and stride | L)."""
+    import jax.numpy as jnp
+    from php_aho_corasick_tpu.ops.filter_jax import (
+        sampled_codes_best,
+        sampled_gram_codes,
+        sampled_gram_codes_planes,
+    )
+
+    rng = np.random.default_rng(31)
+    for q, stride, B, L in [
+        (9, 8, 3, 256),    # headline plan shape
+        (8, 8, 2, 512),
+        (8, 4, 2, 128),
+        (5, 4, 4, 64),
+        (13, 12, 2, 384),
+        (9, 8, 1, 4096),   # full chunk row
+    ]:
+        chunks = rng.integers(0, 256, (B, L), dtype=np.int64).astype(np.uint8)
+        ref = np.asarray(sampled_gram_codes(jnp.asarray(chunks), q, stride))
+        got = np.asarray(
+            sampled_gram_codes_planes(jnp.asarray(chunks), q, stride)
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"q={q} s={stride}")
+        best = np.asarray(sampled_codes_best(jnp.asarray(chunks), q, stride))
+        np.testing.assert_array_equal(best, ref)
+    # off-gate shapes must silently fall back
+    chunks = rng.integers(0, 256, (2, 100), dtype=np.int64).astype(np.uint8)
+    ref = np.asarray(sampled_gram_codes(jnp.asarray(chunks), 8, 9))
+    best = np.asarray(sampled_codes_best(jnp.asarray(chunks), 8, 9))
+    np.testing.assert_array_equal(best, ref)
+
+
 def test_plan_picks_sampled_for_long_patterns():
     rng = random.Random(0)
     pats = [bytes(rng.choice(b"abcdef") for _ in range(16))
