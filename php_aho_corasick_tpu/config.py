@@ -134,6 +134,13 @@ class ScanConfig:
     #: sampled cascade (host verification stays proportional to this).
     cascade_max_cand_density: float = 0.02
 
+    #: byte budget for the window verifier's k-gram super-transition table
+    #: (the cascade's device verify walks candidate windows in k-class
+    #: steps — k dependent gathers become one).  Sized so the headline
+    #: automaton gets k=4 (6 gathers per 23-byte window instead of 23);
+    #: 0 disables the k-gram verifier (plain per-class walk).
+    verify_kgram_bytes: int = 192 * 1024 * 1024
+
     #: corpora larger than this are scanned in multiple device launches
     #: (documents are independent, so splitting is exact); also keeps
     #: flattened cell indices comfortably inside int32.

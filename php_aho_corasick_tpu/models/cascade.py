@@ -406,9 +406,12 @@ class CascadeModel:
         #: (learned from each launch's observed counts; may shrink)
         self._cap_hits = 4096
         self._cap_flagged = 256
-        #: stage-1 compaction capacity of the two-stage VMEM filter
-        #: (coarse survivors; planner bounds the rate at ~1% of cells)
-        self._cap_coarse = 1 << 14
+        #: stage-1 slot capacity of the two-stage VMEM filter: max coarse
+        #: survivors per 128-lane grid row (row-pack rank extraction,
+        #: ops/filter_jax.py stage 1.5).  Structurally <= 128; ~1 at
+        #: planner stray rates, so 8 covers the Poisson tail without a
+        #: first-launch retry.
+        self._cap_coarse = 8
 
     @property
     def learned_caps(self) -> Tuple[int, int]:
@@ -450,6 +453,42 @@ class CascadeModel:
         from ..core.tables import CompressedAutomaton
 
         return isinstance(self.auto, CompressedAutomaton)
+
+    @property
+    def verify_kv(self) -> int:
+        """Super-step width of the window verifier's k-gram walk (1 =
+        plain per-class walk).  Picks the largest k whose composed table
+        fits :attr:`ScanConfig.verify_kgram_bytes` — each +1 removes a
+        dependent gather round from every verify launch."""
+        if self._compressed or self.auto.n_classes > 255:
+            return 1  # packed-class fetch requires byte-sized classes
+        from ..ops.scan_jax import KGRAM_MID_FLAG
+
+        S, C = self.auto.n_states, self.auto.n_classes
+        esize = 2 if (S < (1 << 15) and self.config.allow_int16_states) else 4
+        if esize == 4 and S >= KGRAM_MID_FLAG:
+            return 1
+        kv = 1
+        for k in (2, 3, 4):
+            if (
+                S * C**k * esize <= self.config.verify_kgram_bytes
+                and S * C**k < 2**31
+            ):
+                kv = k
+        return kv
+
+    @property
+    def verify_ktable_dev(self):
+        """Lazy device upload of the verify k-gram table (compose is
+        host-side numpy/native, paid once per automaton)."""
+        if getattr(self, "_verify_ktable", None) is None:
+            import jax.numpy as jnp
+
+            from .kgram_dfa import KgramDfaModel
+
+            km = KgramDfaModel(self.auto, self.config, k=self.verify_kv)
+            self._verify_ktable = jnp.asarray(km.ktable_host)
+        return self._verify_ktable
 
     @property
     def device_arrays(self):
@@ -537,7 +576,9 @@ class CascadeModel:
             shorts=p.shorts,
             capacity=capacity,
         )
-        return idx, lw, sw, n, n
+        # single-stage path has no per-row slot capacity: report 0 so the
+        # caller's nc <= _cap_coarse check never trips
+        return idx, lw, sw, n, jnp.zeros_like(n)
 
     def expand_hits(
         self,
@@ -599,7 +640,7 @@ class CascadeModel:
             if nf > cap_b:
                 cap_b = _next_pow2(nf)
             if nc > self._cap_coarse:
-                self._cap_coarse = _next_pow2(nc)
+                self._cap_coarse = min(128, _next_pow2(nc))
         self._cap_hits = max(256, _next_pow2(n + n // 4))
         self._cap_flagged = cap_b
         return cells, nf
@@ -613,13 +654,34 @@ class CascadeModel:
         launch (docs/PERF_NOTES.md).  The counts must be checked against
         ``cap_a``/``cap_b``/``self._cap_coarse`` after fetching — overflow
         means retry bigger."""
-        from ..ops.filter_jax import verify_windows, verify_windows_compressed
+        from ..ops.filter_jax import (
+            verify_windows,
+            verify_windows_compressed,
+            verify_windows_kgram,
+        )
 
         dd = self.dense_model.device_arrays
         dev = self.device_arrays
         idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
             chunks_d, lengths_d, cap_a
         )
+        if not self._compressed and self.verify_kv > 1:
+            cells, nf_d = verify_windows_kgram(
+                self.verify_ktable_dev,
+                dev["byte_class"],
+                dev["used_bytes"],
+                chunks_d,
+                lengths_d,
+                idx,
+                dd["final_start"],
+                n_classes=self.auto.n_classes,
+                kv=self.verify_kv,
+                stride=self.plan.stride,
+                win_len=self.win_len,
+                capacity=cap_b,
+                n_hits=cap_a,
+            )
+            return cells, n_d, nf_d, nc_d
         if self._compressed:
             cells, nf_d = verify_windows_compressed(
                 dd["dense_flat"],
@@ -796,7 +858,7 @@ class CascadeModel:
                 if n > capacity:
                     capacity = _next_pow2(n)
                 if nc > self._cap_coarse:
-                    self._cap_coarse = _next_pow2(nc)
+                    self._cap_coarse = min(128, _next_pow2(nc))
             return self.expand_hits(
                 np.asarray(idx), np.asarray(lw), np.asarray(sw), n,
                 packed.row_len, packed.lengths,

@@ -35,7 +35,13 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .scan_jax import INT32_MAX, _classes, blocked_nonzero
+from .scan_jax import (
+    INT32_MAX,
+    KGRAM_MID_FLAG,
+    KGRAM_STATE_MASK,
+    _classes,
+    blocked_nonzero,
+)
 
 KNUTH = 2654435761  # Knuth multiplicative hash constant
 
@@ -302,7 +308,7 @@ def filter_hits_sampled(
         "shorts", "capacity", "cap_coarse", "interpret",
     ),
 )
-def filter_hits_sampled_vmem(
+def filter_hits_sampled_vmem(  # noqa: C901 - one fused device pass
     table: jax.Array,  # [k * n_banks, 128] int32 per-probe VMEM banks
     words: jax.Array,  # [2**log2_words] int32 HBM bloom (fine stage)
     chunks: jax.Array,  # [B, L] uint8
@@ -328,17 +334,29 @@ def filter_hits_sampled_vmem(
     the measured ~132 M lookups/s XLA gather wall (docs/PERF_NOTES.md);
     the coarse stage replaces that per-cell gather entirely.
 
-    Stage 2 (fine, XLA gather): only the compacted coarse survivors
-    (``<= cap_coarse``, planner-bounded at ~1% of cells) re-probe the big
-    HBM positional bloom — the same ``words`` the take path uses — so the
-    per-cell gather cost shrinks by the coarse rejection factor.  A second
-    compaction hands downstream (host expansion / window verify) the same
-    contract as :func:`filter_hits_sampled`.
+    Stage 1.5 (row-pack, vector): coarse survivors are *rank-extracted*
+    per 128-lane grid row instead of index-compacted.  ``jnp.nonzero``
+    costs ~17 ns/element on v5e regardless of sparsity, so the previous
+    element compaction over 16.8M cells at a 131k coarse capacity cost
+    ~40 ms of a ~100 ms pass (benchmarks/probe_vmem_breakdown.py).  A
+    lane cumsum ranks each row's hits; slot ``k`` of each row captures
+    its (k+1)-th hit's lane / word / code by masked one-lane SUM
+    reductions (sum, not max: bloom words carry bit 31).  ``cap_coarse``
+    becomes **max survivors per 128-lane row** (structurally <= 128, ~1
+    at planner stray rates); slot arrays are laid out ``[mpr, R]`` —
+    mpr-major — so no intermediate ever has a sub-128 minor dim.
+
+    Stage 2 (fine, XLA gather): every slot re-probes the big HBM
+    positional bloom (gathers ∝ ``mpr * R`` ~ cells/32), then one
+    element compaction over the slot array (~cells/32) + an in-device
+    sort restores the ascending dense contract of
+    :func:`filter_hits_sampled`.
 
     Returns ``(grid_idx [cap], long_word [cap], short_word [cap],
     n_final, n_coarse)`` — retry with ``cap_coarse`` doubled when
-    ``n_coarse > cap_coarse`` and with ``capacity`` doubled when
-    ``n_final > capacity`` (exactness: overflow never truncates)."""
+    ``n_coarse > cap_coarse`` (some row overflowed its slots) and with
+    ``capacity`` doubled when ``n_final > capacity`` (exactness:
+    overflow never truncates)."""
     from .filter_pallas import bloom_word_vmem
 
     B, L = chunks.shape
@@ -360,32 +378,56 @@ def filter_hits_sampled_vmem(
     else:
         sw = jnp.zeros((B, M), jnp.int32)
 
-    # stage-1 compaction over the (sparse) coarse-hit mask
-    hit1 = (w | sw) != 0
-    idx1, n_coarse = blocked_nonzero(hit1.reshape(-1), cap_coarse)
-    safe1 = jnp.minimum(idx1, B * M - 1)
-    valid1 = idx1 < INT32_MAX
-    lw1 = jnp.where(valid1, jnp.take(w.reshape(-1), safe1), 0)
-    sw1 = jnp.where(valid1, jnp.take(sw.reshape(-1), safe1), 0)
+    # stage 1.5: rank-extract survivors per 128-lane grid row
+    n_grid = B * M
+    R = -(-n_grid // 128)
+    mpr = min(max(cap_coarse, 1), 128)
 
-    # stage 2: survivors re-probe the HBM bloom (gathers ∝ survivors)
-    c1 = jnp.take(code.reshape(-1), safe1)
+    def _rows(x):
+        xf = x.reshape(-1)
+        pad_n = R * 128 - n_grid
+        if pad_n:
+            xf = jnp.concatenate([xf, jnp.zeros((pad_n,), xf.dtype)])
+        return xf.reshape(R, 128)
+
+    w2, sw2, code2 = _rows(w), _rows(sw), _rows(code)
+    hit = (w2 | sw2) != 0
+    ranks = jnp.cumsum(hit.astype(jnp.int32), axis=1)
+    n_coarse = jnp.max(ranks[:, -1])  # retry signal: > mpr means loss
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    lane_s, w_s, sw_s, c_s = [], [], [], []
+    for k in range(mpr):
+        sel = hit & (ranks == k + 1)  # <= one lane per row
+        lane_s.append(
+            jnp.sum(jnp.where(sel, lane_iota + 1, 0), axis=1) - 1
+        )
+        w_s.append(jnp.sum(jnp.where(sel, w2, 0), axis=1))
+        sw_s.append(jnp.sum(jnp.where(sel, sw2, 0), axis=1))
+        c_s.append(jnp.sum(jnp.where(sel, code2, 0), axis=1))
+    lane_s = jnp.stack(lane_s)  # [mpr, R] (mpr-major: no minor dim < 128)
+    w_s = jnp.stack(w_s)
+    sw_s = jnp.stack(sw_s)
+    c_s = jnp.stack(c_s)
+
+    # stage 2: every slot re-probes the HBM bloom (gathers ∝ mpr * R)
     wf = None
     for salt in fine_salts:
-        h = (c1.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+        h = (c_s.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
         widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
         probe = jnp.take(words, widx)
         wf = probe if wf is None else (wf & probe)
-    lw1 = lw1 & wf
+    w_s = w_s & wf
 
-    # stage-2 compaction: drop cells the fine probe refuted
-    alive = (lw1 | sw1) != 0
+    # element compaction over the slot array + sort back to ascending
+    alive = ((w_s | sw_s) != 0).reshape(-1)
     slot, n_final = blocked_nonzero(alive, capacity)
-    safe2 = jnp.minimum(slot, cap_coarse - 1)
-    valid2 = slot < INT32_MAX
-    idx = jnp.where(valid2, jnp.take(idx1, safe2), INT32_MAX)
-    lw = jnp.where(valid2, jnp.take(lw1, safe2), 0)
-    swo = jnp.where(valid2, jnp.take(sw1, safe2), 0)
+    safe = jnp.minimum(slot, mpr * R - 1)
+    valid = slot < INT32_MAX
+    cell = jnp.take(lane_s.reshape(-1), safe) + (safe % R) * 128
+    idx = jnp.where(valid, cell, INT32_MAX)
+    lw = jnp.where(valid, jnp.take(w_s.reshape(-1), safe), 0)
+    swo = jnp.where(valid, jnp.take(sw_s.reshape(-1), safe), 0)
+    idx, lw, swo = jax.lax.sort((idx, lw, swo), num_keys=1)
     return idx, lw, swo, n_final, n_coarse
 
 
@@ -436,32 +478,162 @@ def verify_windows(
     b = g // M
     w0 = (g % M) * stride - (stride - 1)  # window head (may be < 0)
 
-    j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
     base = b * L + w0
-    # Gather window bytes directly: H*W gathers, proportional to the HIT
-    # count, not the corpus — at realistic hit caps this is ~100k lookups
-    # (~1 ms at the measured gather rate).  An aligned-int32-word variant
-    # (W/4+1 gathers/hit via bitcast_convert_type) was tried and reverted:
-    # the u8[B*L/4, 4] reshape it needs gets a (8,128)-tiled layout whose
-    # minor dim pads 4 -> 128, materializing a 32x-padded corpus-sized
-    # scratch (17.7 GB at a 128 MiB launch — compile-time OOM).
-    bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
-    byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
-
-    pos = w0[:, None] + j_idx
-    valid = (pos >= 0) & (pos < lengths[b][:, None]) & active[:, None]
-    cls = _classes(byte.astype(jnp.uint8), byte_class, used_bytes)
-    cls = jnp.where(valid, cls, 0)
+    row_len = lengths[b]
+    if n_classes <= 255:
+        # Fetch window CLASSES as packed 4-per-int32 words: one corpus
+        # classify+pack pass (elementwise + strided lane slices, ~3 ms per
+        # 128 MiB) turns 2 gathers per window position (byte + class) into
+        # W/4+2 word gathers per window — 262k vs 1.5M lookups at the
+        # headline's 32k-window capacity (the gather unit is the wall:
+        # docs/PERF_NOTES.md).  Extraction is select/shift ALU only: the
+        # covering word of position j is one of two adjacent fetched words
+        # (carry select), never a per-j gather.  A byte-level bitcast pack
+        # was tried in round 1 and reverted (u8[...,4] minor-dim reshape
+        # physically pads 4 -> 128); the class pack below slices LANES
+        # (cls32[:, k::4]) which relayouts without materialized padding.
+        cls_all = _classes(chunks, byte_class, used_bytes).astype(jnp.uint32)
+        cw = None
+        for k in range(4):
+            part = cls_all[:, k::4] << jnp.uint32(8 * k)
+            cw = part if cw is None else (cw | part)
+        cw_flat = cw.reshape(-1)
+        nw = cw_flat.shape[0]
+        wbase = base >> 2  # floor division (base may be negative)
+        off = base & 3
+        n_words = W // 4 + 2
+        wv = [
+            jnp.take(cw_flat, jnp.clip(wbase + i, 0, nw - 1))
+            for i in range(n_words)
+        ]
+        cols = []
+        for j in range(W):
+            lo, rem = divmod(j, 4)
+            carry = off + rem >= 4  # covering word is wv[lo] or wv[lo+1]
+            word = jnp.where(carry, wv[lo + 1], wv[lo])
+            shift = ((off + rem) & 3) * 8
+            cols.append(((word >> shift) & jnp.uint32(0xFF)).astype(jnp.int32))
+    else:
+        # >255 classes cannot pack into bytes: gather bytes directly
+        # (H*W lookups, proportional to the hit count, not the corpus)
+        j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+        bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
+        byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
+        cls2d = _classes(byte.astype(jnp.uint8), byte_class, used_bytes)
+        cols = [cls2d[:, j] for j in range(W)]
 
     # unrolled walk (W <= 32 static): lax.scan's per-step loop overhead
-    # measurably dominates these small [H] gathers on the remote backend
+    # measurably dominates these small [H] gathers on the remote backend.
+    # Per-j [H] vectors throughout — an [H, W] matrix would tile-pad its
+    # minor dim W -> 128 physically.
     state = jnp.zeros((H,), jnp.int32)
     flagged = jnp.zeros((H,), jnp.bool_)
     for j in range(W):
-        state = jnp.take(table_flat, state * n_classes + cls[:, j]).astype(
+        pos_j = w0 + j
+        valid_j = (pos_j >= 0) & (pos_j < row_len) & active
+        cls_j = jnp.where(valid_j, cols[j], 0)
+        state = jnp.take(table_flat, state * n_classes + cls_j).astype(
             jnp.int32
         )
-        flagged |= (state >= final_start) & valid[:, j]
+        flagged |= (state >= final_start) & valid_j
+    n_flagged = flagged.sum(dtype=jnp.int32)
+    (slot,) = jnp.nonzero(flagged, size=capacity, fill_value=INT32_MAX)
+    safe = jnp.minimum(slot, H - 1)
+    win_cell = jnp.where(
+        slot < INT32_MAX, jnp.take(grid_idx, safe), INT32_MAX
+    )
+    return win_cell, n_flagged
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_classes", "kv", "stride", "win_len", "capacity", "n_hits",
+    ),
+)
+def verify_windows_kgram(
+    ktable: jax.Array,  # [S * C^kv] int16/int32 packed k-gram entries
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8, L % 4 == 0 (ROW_ALIGN)
+    lengths: jax.Array,  # [B] int32
+    grid_idx: jax.Array,  # [>=n_hits] int32 b*M+m hits, INT32_MAX-padded
+    final_start: jax.Array,  # scalar int32
+    n_classes: int,
+    kv: int,
+    stride: int,
+    win_len: int,
+    capacity: int,
+    n_hits: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`verify_windows` in ``kv``-class super-steps: the k-gram
+    table's mid-final flag (models/kgram_dfa.py) records finals strictly
+    inside a cell and the end state's own finality is one compare, so the
+    23-step dependent gather chain of the per-class walk becomes
+    ``ceil(W/kv)`` gathers (6 at kv=4) — the dependent chain was the
+    verify stage's floor once window classes came from packed words.
+
+    Exactness under masking: positions outside ``[0, length)`` (and past
+    the window) contribute class 0; no pattern contains an unused byte, so
+    every class-0 transition lands at the root — a masked position can
+    never be final, which makes the cell's mid flag equivalent to the
+    per-position ``final & valid`` disjunction of the 1-gram walk.
+    Requires ``n_classes <= 255`` (packed-class fetch)."""
+    assert n_classes <= 255, "kgram verify requires packed classes"
+    B, L = chunks.shape
+    M = -(-L // stride)
+    H = min(n_hits, grid_idx.shape[0])
+    grid_idx = grid_idx[:H]
+    W = win_len
+    active = grid_idx < INT32_MAX
+    g = jnp.where(active, grid_idx, 0)
+    b = g // M
+    w0 = (g % M) * stride - (stride - 1)
+    base = b * L + w0
+    row_len = lengths[b]
+
+    # packed-class word fetch (see verify_windows)
+    cls_all = _classes(chunks, byte_class, used_bytes).astype(jnp.uint32)
+    cw = None
+    for k in range(4):
+        part = cls_all[:, k::4] << jnp.uint32(8 * k)
+        cw = part if cw is None else (cw | part)
+    cw_flat = cw.reshape(-1)
+    nw = cw_flat.shape[0]
+    wbase = base >> 2
+    off = base & 3
+    n_words = W // 4 + 2
+    wv = [
+        jnp.take(cw_flat, jnp.clip(wbase + i, 0, nw - 1))
+        for i in range(n_words)
+    ]
+
+    def col(j):
+        lo, rem = divmod(j, 4)
+        carry = off + rem >= 4
+        word = jnp.where(carry, wv[lo + 1], wv[lo])
+        shift = ((off + rem) & 3) * 8
+        c = ((word >> shift) & jnp.uint32(0xFF)).astype(jnp.int32)
+        pos_j = w0 + j
+        return jnp.where((pos_j >= 0) & (pos_j < row_len) & active, c, 0)
+
+    is16 = ktable.dtype == jnp.int16
+    ck = n_classes ** kv
+    state = jnp.zeros((H,), jnp.int32)
+    flagged = jnp.zeros((H,), jnp.bool_)
+    for t in range(-(-W // kv)):
+        code = jnp.zeros((H,), jnp.int32)
+        for d in range(kv):
+            j = t * kv + d
+            code = code * n_classes + (col(j) if j < W else 0)
+        entry = jnp.take(ktable, state * ck + code)
+        if is16:
+            state = (entry & jnp.int16(0x7FFF)).astype(jnp.int32)
+            mid = entry < 0
+        else:
+            state = entry & KGRAM_STATE_MASK
+            mid = (entry & KGRAM_MID_FLAG) != 0
+        flagged |= mid | (state >= final_start)
     n_flagged = flagged.sum(dtype=jnp.int32)
     (slot,) = jnp.nonzero(flagged, size=capacity, fill_value=INT32_MAX)
     safe = jnp.minimum(slot, H - 1)

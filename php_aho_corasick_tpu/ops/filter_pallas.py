@@ -37,7 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .filter_jax import KNUTH
 
-BLOCK_R = 256  # rows of 128 lanes per grid step
+#: rows of 128 lanes per grid step.  Per bank step the kernel pays a
+#: dynamic-slice addressing cost once per block; at 256 rows that is
+#: ~43% of the step (measured 33 -> 26.3 ms per 16.8M codes going
+#: 256 -> 1024, benchmarks/probe_blockr.py).  1024 rows = 1 MiB in+out
+#: per step, far under VMEM.
+BLOCK_R = 1024
 SUB = 8  # Mosaic gather tile height
 
 

@@ -561,6 +561,34 @@ def test_sampled_vmem_parity_fuzz(seed):
     assert got == brute_force(patterns, text)
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sampled_vmem_parity_fuzz_full_byte_alphabet(seed):
+    """Full-256-byte alphabet drives n_classes past the packed-class
+    window verifier's 255-class gate (verify_windows falls back to byte
+    gathers) and the word-plane codes path over raw byte data."""
+    rng = random.Random(8600 + seed)
+    patterns = list({
+        bytes(rng.randrange(256) for _ in range(rng.randint(9, 18)))
+        for _ in range(rng.randint(8, 40))
+    })
+    # cover all 256 byte values so n_classes = 257 > 255 (the fallback
+    # branch) while max_len stays verifier-compatible
+    patterns += [bytes(range(16 * i, 16 * i + 16)) for i in range(16)]
+    patterns = list(dict.fromkeys(patterns))
+    text = bytearray(rng.randrange(256) for _ in range(4000))
+    for _ in range(12):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    got = run_cascade(
+        patterns, text, chunk_len=512, match_capacity=64,
+        cascade_mode="sampled", bloom_impl="pallas_vmem",
+        cascade_vmem_bloom_bytes=1 << 21,
+    )
+    assert got == brute_force(patterns, text)
+
+
 def test_vmem_plan_attached_and_selective():
     rng = random.Random(5)
     patterns = list({
