@@ -41,9 +41,15 @@ TPU_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_TPU_LAST.json")
 
 
-def _tpu_alive(timeout: int = 480) -> bool:
+def _tpu_alive(timeout: int = 1200) -> bool:
     """Probe the TPU in a subprocess (the axon grant can wedge into a state
-    where any device op hangs; a hung bench would report nothing)."""
+    where any device op hangs; a hung bench would report nothing).
+
+    The timeout must be GENEROUS: backend init through the tunnel takes
+    70+ s on a recovering grant, and killing the probe subprocess at the
+    timeout itself deepens the wedge (round-3 lesson: a 480 s probe kill
+    put two consecutive bench runs onto the stale-snapshot path while
+    the chip was actually healthy in between)."""
     try:
         r = subprocess.run(
             [
@@ -163,14 +169,10 @@ def main() -> None:
         # once per launch.  Overflowing a capacity invalidates the batch;
         # retry with that capacity doubled (matches never truncate).
         cap_a, cap_b = cm.learned_caps
-        for _attempt in range(6):
-            # warm-up launch: force its *completion* (not just dispatch)
-            # before the timer starts, else its device execution queues
-            # ahead of the timed reps and inflates batch_dt by ~1/reps
-            _wc, _wn, _wnf, _wnc = cm.launch_device(
-                chunks, lengths, cap_a, cap_b
-            )
-            np.asarray(jnp.stack([_wn, _wnf, _wnc]))
+
+        def timed_batch(cap_a, cap_b):
+            """One pipelined batch: reps chains back-to-back, ONE trailing
+            scalar fetch.  Returns (per-pass seconds, ns, nfs, ncs)."""
             t0 = time.time()
             scalars = []
             cells_last = None
@@ -186,8 +188,21 @@ def main() -> None:
                 # non-pipelined path pays too (methodology parity; in the
                 # match-free case only the two scalars leave the device)
                 np.asarray(cells_last)
-            batch_dt = (time.time() - t0) / reps
-            if (
+            return (time.time() - t0) / reps, ns, nfs, ncs
+
+        for _attempt in range(6):
+            # warm-up batch with the EXACT timed structure: the trailing
+            # 3*reps-scalar stack graph compiles on its first run, which
+            # measured +40 ms/pass on the first batch (probe_benchloop.py)
+            _wdt, ns, nfs, ncs = timed_batch(cap_a, cap_b)
+            ok = (
+                ns.max() <= cap_a
+                and nfs.max() <= cap_b
+                and ncs.max() <= cm._cap_coarse
+            )
+            if ok:
+                batch_dt, ns, nfs, ncs = timed_batch(cap_a, cap_b)
+            if ok and (
                 ns.max() <= cap_a
                 and nfs.max() <= cap_b
                 and ncs.max() <= cm._cap_coarse
@@ -196,7 +211,7 @@ def main() -> None:
                 break
             cap_a = max(cap_a, 2 * int(ns.max()))
             cap_b = max(cap_b, 2 * int(nfs.max()))
-            cm._cap_coarse = max(cm._cap_coarse, 2 * int(ncs.max()))
+            cm._cap_coarse = min(128, max(cm._cap_coarse, 2 * int(ncs.max())))
     if dt is None:
         times = []
         for _ in range(reps):
@@ -224,7 +239,8 @@ def main() -> None:
     # from the known density so no doubling-ladder recompiles happen.
     density_rows = {}
     if use_cascade:
-        dens_docs = base_docs * 8  # 16 MiB
+        dens_docs = base_docs * 32  # 64 MiB: big enough that the ~25 ms
+        # per-iteration relay round trip (scalar fetch) amortizes
         dens_bytes = sum(map(len, dens_docs))
         for dens in (1e-5, 1e-3):
             n_plant = int(dens * dens_bytes)
@@ -244,16 +260,47 @@ def main() -> None:
                 jnp.asarray(pk.emit_from),
             )
             cm.seed_caps(2 * n_plant, 2 * n_plant)
-            # warm up (compile for this corpus/capacity shape)
+            # warm up (compile for this corpus/capacity shape + settle caps)
             docs_a, _, _ = cm.run_arrays(pk, cfg.match_capacity, dev_inputs=dv)
-            times = []
-            for _ in range(3):
+            docs_a, _, _ = cm.run_arrays(pk, cfg.match_capacity, dev_inputs=dv)
+            # double-buffered steady state: dispatch launch i+1 BEFORE the
+            # host fetches/expands launch i's flagged cells, so host
+            # emission overlaps device compute (VERDICT r2 #6)
+            dch, dln = dv[0], dv[1]
+            ca, cb = cm.learned_caps
+            dreps = 4
+            # full warm iteration: compiles the chain AND the nf-sized
+            # slice fetch (nf is data-deterministic, so the timed reps hit
+            # the same executable)
+            cells_d, n_d, nf_d, nc_d = cm.launch_device(dch, dln, ca, cb)
+            _nf = int(np.asarray(nf_d))
+            cm.emit_windows_arrays(
+                pk, np.asarray(cells_d[: max(_nf, 1)]), _nf
+            )
+            out = cm.launch_device(dch, dln, ca, cb)
+            t0 = time.time()
+            ok = True
+            for _ in range(dreps):
+                nxt = cm.launch_device(dch, dln, ca, cb)
+                cells_d, n_d, nf_d, nc_d = out
+                n, nf, nc = map(int, np.asarray(jnp.stack([n_d, nf_d, nc_d])))
+                ok &= n <= ca and nf <= cb and nc <= cm._cap_coarse
+                # fetch only the occupied prefix: the full capacity buffer
+                # would cross the ~33 MB/s relay
+                cells_np = np.asarray(cells_d[: max(nf, 1)])
+                docs_a, ends_a, pids_a = cm.emit_windows_arrays(
+                    pk, cells_np, nf
+                )
+                out = nxt
+            ddt = (time.time() - t0) / dreps
+            np.asarray(jnp.stack(out[1:]))  # drain the extra launch
+            if not ok:  # a capacity moved mid-batch: fall back to the
+                # non-pipelined exact path for this row
                 t0 = time.time()
                 docs_a, ends_a, pids_a = cm.run_arrays(
                     pk, cfg.match_capacity, dev_inputs=dv
                 )
-                times.append(time.time() - t0)
-            ddt = sorted(times)[1]
+                ddt = time.time() - t0
             density_rows[f"{dens:g}"] = {
                 "gbps": round(dens_bytes / ddt / 1e9, 4),
                 "pass_ms": round(ddt * 1e3, 2),

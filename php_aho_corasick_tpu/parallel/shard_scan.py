@@ -510,7 +510,7 @@ def _sharded_call_sampled_verified(
     static_argnames=(
         "mesh", "n_classes", "q", "stride", "log2_rows", "salts",
         "log2_words", "fine_salts", "shorts", "win_len", "cap_hits",
-        "cap_flagged", "cap_coarse", "interpret", "collect",
+        "cap_flagged", "cap_coarse", "verify_kv", "interpret", "collect",
     ),
 )
 def _sharded_call_sampled_verified_vmem(
@@ -523,6 +523,7 @@ def _sharded_call_sampled_verified_vmem(
     lengths,
     min_long_len,
     final_start,
+    verify_ktable,
     *,
     mesh: Mesh,
     n_classes: int,
@@ -537,6 +538,7 @@ def _sharded_call_sampled_verified_vmem(
     cap_hits: int,
     cap_flagged: int,
     cap_coarse: int,
+    verify_kv: int,
     interpret: bool,
     collect: bool = False,
 ):
@@ -544,24 +546,37 @@ def _sharded_call_sampled_verified_vmem(
     Mosaic bank-select kernel + HBM fine probe run per chip inside the
     shard_map body (the bank tables replicate like every other automaton
     array).  Extra replicated output: the ``[psum, pmax]`` of the coarse
-    survivor counts (its capacity must also not overflow)."""
-    from ..ops.filter_jax import filter_hits_sampled_vmem, verify_windows
+    survivor counts (its capacity must also not overflow).  With
+    ``verify_kv > 1`` the per-chip window walk uses the k-gram verifier
+    (``verify_ktable`` replicated; pass a dummy array at kv=1)."""
+    from ..ops.filter_jax import (
+        filter_hits_sampled_vmem,
+        verify_windows,
+        verify_windows_kgram,
+    )
 
     data, rep = P(DATA_AXIS), P()
     buf_spec = rep if collect else data
 
-    def local_fn(vt, w, tf, bc, ub, ch, ln, mll, fs):
+    def local_fn(vt, w, tf, bc, ub, ch, ln, mll, fs, vkt):
         idx, _lw, _sw, n, nc = filter_hits_sampled_vmem(
             vt, w, ch, ln, mll,
             q=q, stride=stride, log2_rows=log2_rows, salts=salts,
             log2_words=log2_words, fine_salts=fine_salts, shorts=shorts,
             capacity=cap_hits, cap_coarse=cap_coarse, interpret=interpret,
         )
-        cells, nf = verify_windows(
-            tf, bc, ub, ch, ln, idx, fs,
-            n_classes=n_classes, stride=stride, win_len=win_len,
-            capacity=cap_flagged, n_hits=cap_hits,
-        )
+        if verify_kv > 1:
+            cells, nf = verify_windows_kgram(
+                vkt, bc, ub, ch, ln, idx, fs,
+                n_classes=n_classes, kv=verify_kv, stride=stride,
+                win_len=win_len, capacity=cap_flagged, n_hits=cap_hits,
+            )
+        else:
+            cells, nf = verify_windows(
+                tf, bc, ub, ch, ln, idx, fs,
+                n_classes=n_classes, stride=stride, win_len=win_len,
+                capacity=cap_flagged, n_hits=cap_hits,
+            )
         shard = jax.lax.axis_index(DATA_AXIS)
         local_cells = ch.shape[0] * (-(-ch.shape[1] // stride))
         cells = jnp.where(
@@ -581,12 +596,12 @@ def _sharded_call_sampled_verified_vmem(
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, data, data, rep, rep),
+        in_specs=(rep, rep, rep, rep, rep, data, data, rep, rep, rep),
         out_specs=(buf_spec, rep, rep, rep, rep),
     )
     return fn(
         vmem_table, words, table_flat, byte_class, used_bytes, chunks,
-        lengths, min_long_len, final_start,
+        lengths, min_long_len, final_start, verify_ktable,
     )
 
 
@@ -611,7 +626,14 @@ def sharded_sampled_verified(
     dd = cascade_model.dense_model.device_arrays
     if cascade_model.bloom_impl() == "pallas_vmem":
         import jax as _jax
+        import jax.numpy as _jnp
 
+        kv = cascade_model.verify_kv
+        vkt = (
+            cascade_model.verify_ktable_dev
+            if kv > 1
+            else _jnp.zeros((1,), _jnp.int32)
+        )
         return _sharded_call_sampled_verified_vmem(
             dev["vmem_table"],
             dev["sampled_words"],
@@ -622,6 +644,7 @@ def sharded_sampled_verified(
             lengths,
             dev["min_long_len"],
             dd["final_start"],
+            vkt,
             mesh=mesh,
             n_classes=cascade_model.auto.n_classes,
             q=plan.q,
@@ -635,6 +658,7 @@ def sharded_sampled_verified(
             cap_hits=cap_hits,
             cap_flagged=cap_flagged,
             cap_coarse=cascade_model._cap_coarse,
+            verify_kv=kv,
             interpret=_jax.default_backend() != "tpu",
             collect=collect,
         )
