@@ -89,7 +89,8 @@ def main():
     codes = fj.sampled_codes_best(ch, p.q, p.stride)
     codes.block_until_ready()
     piped("kernel", lambda: bloom_word_vmem(
-        dev["vmem_table"], codes, p.vmem_salts, p.vmem_log2_rows),
+        dev["vmem_table"], codes, p.vmem_salts, p.vmem_log2_rows,
+        pack=p.vmem_pack),
         fetch_first)
 
     piped("filter", lambda: cm.scan_hits_sampled(ch, ln, cap_a)[3],

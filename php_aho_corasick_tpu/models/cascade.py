@@ -61,6 +61,9 @@ class CascadePlan:
     vmem_log2_rows: int = 0
     vmem_salts: Tuple[int, ...] = ()
     vmem_words: Optional[np.ndarray] = None
+    #: banks packed per physical int32 row (32 // subword width; a
+    #: positional word only needs ``stride`` alignment bits)
+    vmem_pack: int = 1
     #: planner's per-cell stray-hit estimate for the VMEM bloom (diagnostics)
     vmem_est_stray: float = 0.0
 
@@ -158,7 +161,12 @@ def _sampled_cost(
         verify = _GATHER_S * (3 * win_len + 2) * 1.6 * hit_rate / s
     else:  # host expand + verify through the relay
         verify = 300e-9 * hit_rate / s
-    cost = _GATHER_S * n_probes / s + _COMPACT_S / s + verify
+    # grid gram-code assembly: strides with s % 4 == 0 take the
+    # cell-aligned word-plane path (measured 0.042 ns/byte vs 0.123 for
+    # the general [B, M, s] reshape path whose sub-128 minor dim pays
+    # 16x physical tile padding — probe_planes2.py, round 3)
+    codes = 0.042e-9 if s % 4 == 0 else 0.123e-9
+    cost = _GATHER_S * n_probes / s + _COMPACT_S / s + verify + codes
     return cost, hit_rate
 
 
@@ -226,10 +234,23 @@ def _plan_vmem_bloom(
         rows = (h >> np.uint32(32 - log2_rows)).astype(np.int64)
         flat = words.reshape(-1)
         np.bitwise_or.at(flat, p * N + rows, bits)
+    # subword bank packing: a positional word only uses ``stride``
+    # alignment bits, so up to 32/stride banks share one physical int32
+    # row — the kernel's bank-select loop (its cost = physical rows)
+    # shrinks by the pack factor (4x at the headline's stride 8)
+    pack = 4 if stride <= 8 else (2 if stride <= 16 else 1)
+    if pack > 1:
+        w = 32 // pack
+        per = words.reshape(k, n_banks // pack, pack, 128)
+        packed = np.zeros((k, n_banks // pack, 128), np.uint32)
+        for i in range(pack):
+            packed |= per[:, :, i, :] << np.uint32(i * w)
+        words = packed.reshape(k * (n_banks // pack), 128)
     return dict(
         log2_rows=log2_rows,
         salts=salts,
         words=words.view(np.int32),
+        pack=pack,
         stray=float(stray),
     )
 
@@ -340,6 +361,7 @@ def plan_cascade(
                     vmem_log2_rows=vmem["log2_rows"] if vmem else 0,
                     vmem_salts=vmem["salts"] if vmem else (),
                     vmem_words=vmem["words"] if vmem else None,
+                    vmem_pack=vmem["pack"] if vmem else 1,
                     vmem_est_stray=vmem["stray"] if vmem else 0.0,
                 )
         if config.cascade_mode == "sampled":
@@ -557,6 +579,7 @@ class CascadeModel:
                 stride=p.stride,
                 log2_rows=p.vmem_log2_rows,
                 salts=p.vmem_salts,
+                pack=p.vmem_pack,
                 log2_words=p.log2_words,
                 fine_salts=p.sampled_salts,
                 shorts=p.shorts,

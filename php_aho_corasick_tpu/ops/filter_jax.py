@@ -304,12 +304,12 @@ def filter_hits_sampled(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "q", "stride", "log2_rows", "salts", "log2_words", "fine_salts",
-        "shorts", "capacity", "cap_coarse", "interpret",
+        "q", "stride", "log2_rows", "salts", "pack", "log2_words",
+        "fine_salts", "shorts", "capacity", "cap_coarse", "interpret",
     ),
 )
 def filter_hits_sampled_vmem(  # noqa: C901 - one fused device pass
-    table: jax.Array,  # [k * n_banks, 128] int32 per-probe VMEM banks
+    table: jax.Array,  # [k * n_banks / pack, 128] int32 packed bank rows
     words: jax.Array,  # [2**log2_words] int32 HBM bloom (fine stage)
     chunks: jax.Array,  # [B, L] uint8
     lengths: jax.Array,  # [B] int32
@@ -318,6 +318,7 @@ def filter_hits_sampled_vmem(  # noqa: C901 - one fused device pass
     stride: int,
     log2_rows: int,
     salts: Tuple[int, ...],
+    pack: int,
     log2_words: int,
     fine_salts: Tuple[int, ...],
     shorts: Tuple[bytes, ...],
@@ -362,7 +363,9 @@ def filter_hits_sampled_vmem(  # noqa: C901 - one fused device pass
     B, L = chunks.shape
     M = -(-L // stride)
     code = sampled_codes_best(chunks, q, stride)
-    w = bloom_word_vmem(table, code, salts, log2_rows, interpret=interpret)
+    w = bloom_word_vmem(
+        table, code, salts, log2_rows, pack=pack, interpret=interpret
+    )
     w = jnp.where(min_long_len > 0, w, 0)
 
     if shorts:

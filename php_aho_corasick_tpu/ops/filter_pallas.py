@@ -46,33 +46,54 @@ BLOCK_R = 1024
 SUB = 8  # Mosaic gather tile height
 
 
-def _vmem_kernel(salts, log2_rows, n_banks, table_ref, codes_ref, out_ref):
+def _vmem_kernel(
+    salts, log2_rows, n_banks, pack, table_ref, codes_ref, out_ref
+):
     """Block-wide bank-select probe: hash the WHOLE [BLOCK_R, 128] block
     of codes per salt, then fori_loop over bank rows — one dynamic-slice
     row broadcast + lane take_along_axis + select per bank over the full
     block.  The per-bank scalar work (dynamic slice addressing) amortizes
     over BLOCK_R/8 tiles; a per-[8,128]-tile bank loop measured ~85
     cycles/bank-step on v5e (probe3, docs/PERF_NOTES.md round 3) with the
-    slice overhead dominating."""
+    slice overhead dominating.
+
+    ``pack`` banks share each physical row as 32/pack-bit subwords (a
+    positional word only carries ``stride`` alignment bits), dividing the
+    loop's step count — its entire cost — by ``pack`` for two extra
+    vector ops per step (subword shift+mask)."""
     shift = jnp.uint32(32 - log2_rows)
     R = codes_ref.shape[0]
     c = codes_ref[...]
+    n_rows = n_banks // pack
+    sw = 32 // pack
+    submask = jnp.uint32((1 << sw) - 1) if pack > 1 else None
     acc_all = None
     for p, salt in enumerate(salts):
         h = (c.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
         slot = (h >> shift).astype(jnp.int32)
         lane = slot & 127
         bank = slot >> 7
+        if pack > 1:
+            prow = bank // pack
+            sub_shift = ((bank % pack) * sw).astype(jnp.uint32)
+        else:
+            prow = bank
+            sub_shift = None
 
-        def bank_body(b, acc, lane=lane, bank=bank, p=p):
+        def bank_body(b, acc, lane=lane, prow=prow, sub_shift=sub_shift,
+                      p=p):
             row = jnp.broadcast_to(
-                table_ref[pl.ds(p * n_banks + b, 1), :], (R, 128)
+                table_ref[pl.ds(p * n_rows + b, 1), :], (R, 128)
             )
             g = jnp.take_along_axis(row, lane, axis=1)
-            return jnp.where(bank == b, g, acc)
+            if pack > 1:
+                g = (
+                    (g.astype(jnp.uint32) >> sub_shift) & submask
+                ).astype(jnp.int32)
+            return jnp.where(prow == b, g, acc)
 
         acc = jax.lax.fori_loop(
-            0, n_banks, bank_body, jnp.zeros((R, 128), jnp.int32)
+            0, n_rows, bank_body, jnp.zeros((R, 128), jnp.int32)
         )
         acc_all = acc if acc_all is None else (acc_all & acc)
     out_ref[...] = acc_all
@@ -81,14 +102,16 @@ def _vmem_kernel(salts, log2_rows, n_banks, table_ref, codes_ref, out_ref):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "salts", "log2_rows", "interpret", "force_pallas", "block_r"
+        "salts", "log2_rows", "pack", "interpret", "force_pallas",
+        "block_r",
     ),
 )
 def bloom_word_vmem(
-    table: jax.Array,  # [len(salts) * n_banks, 128] int32 per-probe banks
+    table: jax.Array,  # [len(salts) * n_banks / pack, 128] int32 rows
     codes: jax.Array,  # [...] int32 gram codes
     salts: tuple,  # k probe salts (one bank table each)
     log2_rows: int,  # log2 of words per probe table (n_banks * 128)
+    pack: int = 1,  # banks per physical row (32/pack-bit subwords)
     interpret: bool = False,
     force_pallas: bool = False,  # tests: run the kernel body interpreted
     block_r: int = BLOCK_R,  # grid-step height (rows of 128 codes)
@@ -105,14 +128,16 @@ def bloom_word_vmem(
     flat = codes.reshape(-1)
     n = flat.shape[0]
     n_banks = (1 << log2_rows) // 128
-    assert table.shape == (len(salts) * n_banks, 128)
+    assert n_banks % pack == 0
+    assert table.shape == (len(salts) * n_banks // pack, 128)
     if interpret and not force_pallas:
         # pure-XLA equivalent for CPU/test runs: jax's pallas interpreter
         # cannot run this kernel under shard_map (its per-primitive vma
         # checks reject kernel constants), and off-TPU the XLA gather is
         # the faster path anyway.  The kernel body itself is covered by
         # the force_pallas interpret-mode tests.
-        N = 1 << log2_rows
+        N = (1 << log2_rows) // pack  # physical words per probe table
+        sw = 32 // pack
         words_flat = table.reshape(-1)
         acc = None
         for p, salt in enumerate(salts):
@@ -120,7 +145,17 @@ def bloom_word_vmem(
                 KNUTH
             )
             rows = (h >> jnp.uint32(32 - log2_rows)).astype(jnp.int32)
-            got = jnp.take(words_flat, p * N + rows)
+            if pack > 1:
+                lane = rows & 127
+                bank = rows >> 7
+                phys = (bank // pack) * 128 + lane
+                got = jnp.take(words_flat, p * N + phys)
+                got = (
+                    (got.astype(jnp.uint32) >> ((bank % pack) * sw))
+                    & jnp.uint32((1 << sw) - 1)
+                ).astype(jnp.int32)
+            else:
+                got = jnp.take(words_flat, p * N + rows)
             acc = got if acc is None else (acc & got)
         return acc.reshape(shape)
     cols = 128
@@ -141,11 +176,11 @@ def bloom_word_vmem(
         else jax.ShapeDtypeStruct((rows_pad, cols), jnp.int32)
     )
     out = pl.pallas_call(
-        functools.partial(_vmem_kernel, salts, log2_rows, n_banks),
+        functools.partial(_vmem_kernel, salts, log2_rows, n_banks, pack),
         grid=(rows_pad // block_r,),
         in_specs=[
             pl.BlockSpec(
-                (len(salts) * n_banks, 128), lambda i: (0, 0),
+                (len(salts) * n_banks // pack, 128), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((block_r, 128), lambda i: (i, 0),

@@ -510,7 +510,8 @@ def _sharded_call_sampled_verified(
     static_argnames=(
         "mesh", "n_classes", "q", "stride", "log2_rows", "salts",
         "log2_words", "fine_salts", "shorts", "win_len", "cap_hits",
-        "cap_flagged", "cap_coarse", "verify_kv", "interpret", "collect",
+        "cap_flagged", "cap_coarse", "verify_kv", "vmem_pack", "interpret",
+        "collect",
     ),
 )
 def _sharded_call_sampled_verified_vmem(
@@ -539,6 +540,7 @@ def _sharded_call_sampled_verified_vmem(
     cap_flagged: int,
     cap_coarse: int,
     verify_kv: int,
+    vmem_pack: int,
     interpret: bool,
     collect: bool = False,
 ):
@@ -562,8 +564,9 @@ def _sharded_call_sampled_verified_vmem(
         idx, _lw, _sw, n, nc = filter_hits_sampled_vmem(
             vt, w, ch, ln, mll,
             q=q, stride=stride, log2_rows=log2_rows, salts=salts,
-            log2_words=log2_words, fine_salts=fine_salts, shorts=shorts,
-            capacity=cap_hits, cap_coarse=cap_coarse, interpret=interpret,
+            pack=vmem_pack, log2_words=log2_words, fine_salts=fine_salts,
+            shorts=shorts, capacity=cap_hits, cap_coarse=cap_coarse,
+            interpret=interpret,
         )
         if verify_kv > 1:
             cells, nf = verify_windows_kgram(
@@ -659,6 +662,7 @@ def sharded_sampled_verified(
             cap_flagged=cap_flagged,
             cap_coarse=cascade_model._cap_coarse,
             verify_kv=kv,
+            vmem_pack=plan.vmem_pack,
             interpret=_jax.default_backend() != "tpu",
             collect=collect,
         )

@@ -533,6 +533,28 @@ def test_vmem_bloom_word_matches_host():
         acc = w if acc is None else acc & w
     np.testing.assert_array_equal(got, acc)
 
+    # packed-bank layout (pack=4, 8-bit subwords): same probes must
+    # come back as the low-8-bit subword values
+    words8 = (words.view(np.uint32) & 0xFF).astype(np.uint32)
+    per = words8.reshape(k, N // 128 // 4, 4, 128)
+    packed = np.zeros((k, N // 128 // 4, 128), np.uint32)
+    for i in range(4):
+        packed |= per[:, :, i, :] << np.uint32(i * 8)
+    table4 = jnp.asarray(
+        packed.reshape(k * N // 128 // 4, 128).view(np.int32)
+    )
+    acc8 = None
+    for p, salt in enumerate(salts):
+        h = (codes.astype(np.uint64) ^ salt) * KNUTH & 0xFFFFFFFF
+        w = words8[p * N + (h >> (32 - log2_rows)).astype(np.int64)]
+        acc8 = w if acc8 is None else acc8 & w
+    for force in (True, False):
+        got4 = np.asarray(
+            bloom_word_vmem(table4, jnp.asarray(codes), salts, log2_rows,
+                            pack=4, interpret=True, force_pallas=force)
+        )
+        np.testing.assert_array_equal(got4, acc8.astype(np.int32))
+
 
 @pytest.mark.parametrize("seed", range(4))
 def test_sampled_vmem_parity_fuzz(seed):
@@ -602,9 +624,12 @@ def test_vmem_plan_attached_and_selective():
     assert plan.vmem_words is not None
     k = len(plan.vmem_salts)
     N = 1 << plan.vmem_log2_rows
-    assert plan.vmem_words.shape == (k * N // 128, 128)
+    pack = plan.vmem_pack
+    # subword width must cover every alignment bit of the plan's stride
+    assert pack == (4 if plan.stride <= 8 else 2 if plan.stride <= 16 else 1)
+    assert plan.vmem_words.shape == (k * N // 128 // pack, 128)
     assert 2 <= k <= 8
-    assert k * N * 4 <= cfg.cascade_vmem_bloom_bytes
+    assert k * N * 4 // pack <= cfg.cascade_vmem_bloom_bytes
     assert plan.vmem_est_stray <= 0.01
     # every pattern's every alignment gram must probe positive (soundness)
     from php_aho_corasick_tpu.models.cascade import _alignment_gram_codes
@@ -614,10 +639,17 @@ def test_vmem_plan_attached_and_selective():
     codes, aligns = _alignment_gram_codes(longs, plan.q, plan.stride)
     acc = None
     words = plan.vmem_words.view(np.uint32).reshape(-1)
+    sw = 32 // pack
     for p_i, salt in enumerate(plan.vmem_salts):
         h = (codes ^ np.uint32(salt)) * np.uint32(KNUTH)
         rows = (h >> np.uint32(32 - plan.vmem_log2_rows)).astype(np.int64)
-        w = words[p_i * N + rows]
+        lane = rows & 127
+        bank = rows >> 7
+        phys = (bank // pack) * 128 + lane
+        w = words[p_i * (N // pack) + phys]
+        w = (w >> ((bank % pack) * sw).astype(np.uint32)) & np.uint32(
+            (1 << sw) - 1
+        )
         acc = w if acc is None else acc & w
     assert ((acc >> aligns.astype(np.uint32)) & 1).all()
 
