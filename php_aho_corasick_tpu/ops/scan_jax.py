@@ -216,15 +216,19 @@ def scan_and_compact_compressed(
 
 
 def blocked_nonzero(flat: jax.Array, capacity: int, blk: int = 8):
-    """Two-level fixed-capacity compaction of a sparse boolean vector.
+    """Multi-level fixed-capacity compaction of a sparse boolean vector.
 
     ``jnp.nonzero(size=)`` costs ~17 ns/element on v5e
     (docs/PERF_NOTES.md); reducing ``blk``-element blocks first and
     compacting only flagged blocks cuts the dominant pass to ``n/blk``
-    elements (sparse masks => few flagged blocks).  Returns ``(idx
+    elements (sparse masks => few flagged blocks).  When the block-flag
+    vector still dwarfs the capacity, the block compaction RECURSES —
+    each level shrinks the nonzero input another ``blk``-fold for one
+    extra ``capacity*blk`` pass, so compaction cost is ~``capacity``-
+    proportional instead of input-proportional.  Returns ``(idx
     [capacity] ascending, INT32_MAX-padded, n_true)``; exact whenever
-    ``n_true <= capacity`` (flagged blocks <= true bits, so the block
-    pass never overflows first)."""
+    ``n_true <= capacity`` (flagged blocks <= true bits at EVERY level,
+    so no block pass overflows first)."""
     n = flat.shape[0]
     n_true = flat.sum(dtype=jnp.int32)
     nb = -(-n // blk)
@@ -232,7 +236,11 @@ def blocked_nonzero(flat: jax.Array, capacity: int, blk: int = 8):
         [flat, jnp.zeros(nb * blk - n, jnp.bool_)]
     ).reshape(nb, blk)
     blk_any = flat_p.any(axis=1)
-    (bidx,) = jnp.nonzero(blk_any, size=capacity, fill_value=INT32_MAX)
+    if nb > 16 * capacity:  # recursion beats a direct nonzero(nb) once
+        # nb >> capacity*blk (the extra level's own second-pass cost)
+        bidx, _ = blocked_nonzero(blk_any, capacity, blk)
+    else:
+        (bidx,) = jnp.nonzero(blk_any, size=capacity, fill_value=INT32_MAX)
     safe_b = jnp.minimum(bidx, nb - 1).astype(jnp.int32)
     sub = jnp.take(flat_p, safe_b, axis=0)  # [capacity, blk]
     sub &= (bidx < INT32_MAX)[:, None]

@@ -217,7 +217,11 @@ def test_blocked_nonzero_matches_plain():
 
     rng = np.random.default_rng(3)
     for n, dens, cap in [(1000, 0.03, 64), (4096, 0.5, 4096),
-                         (777, 0.0, 16), (513, 1.0, 1024), (8, 0.4, 8)]:
+                         (777, 0.0, 16), (513, 1.0, 1024), (8, 0.4, 8),
+                         # n >> 16*cap: exercises the recursive block
+                         # levels (one and two extra levels deep)
+                         (100_000, 0.0005, 128), (2_000_000, 0.00002, 64),
+                         (300_000, 0.0, 32)]:
         mask = rng.random(n) < dens
         idx, cnt = blocked_nonzero(jnp.asarray(mask), cap)
         idx, cnt = np.asarray(idx), int(cnt)
