@@ -554,10 +554,12 @@ class CascadeModel:
         self, chunks, lengths, capacity: int, cap_coarse: Optional[int] = None
     ):
         """One launch of the grid-domain sampled filter.  Returns
-        ``(grid_idx, long_word, short_word, n_hits, n_coarse)`` — for the
-        single-stage take path ``n_coarse == n_hits``; for the two-stage
-        VMEM path ``n_coarse`` is the stage-1 survivor count whose own
-        capacity (``cap_coarse``) must also not overflow."""
+        ``(grid_idx, long_word, short_word, n_hits, n_coarse)`` — the
+        single-stage take path has no per-row slot capacity and reports
+        ``n_coarse == 0`` (so the caller's coarse-capacity check never
+        trips); for the two-stage VMEM path ``n_coarse`` is the stage-1
+        survivor count whose own capacity (``cap_coarse``) must also not
+        overflow."""
         import jax
         import jax.numpy as jnp
 
@@ -651,7 +653,7 @@ class CascadeModel:
         ``launch(cap_a, cap_b)`` must return ``(cells, n_hits, n_flagged,
         n_coarse)`` with host ints for the counts (``n_coarse`` checks the
         VMEM filter's stage-1 capacity, ``self._cap_coarse``; the take
-        path reports ``n_coarse == n_hits``)."""
+        path reports ``n_coarse == 0`` since it has no slot capacity)."""
         cap_a = max(self._cap_hits, 256)
         cap_b = self._cap_flagged
         while True:
@@ -666,7 +668,19 @@ class CascadeModel:
                 self._cap_coarse = min(128, _next_pow2(nc))
         self._cap_hits = max(256, _next_pow2(n + n // 4))
         self._cap_flagged = cap_b
+        self._decay_cap_coarse(nc)
         return cells, nf
+
+    def _decay_cap_coarse(self, nc: int) -> None:
+        """Decay the learned stage-1 slot cap back toward the planner
+        default once dense launches stop recurring.  One 128-bumping
+        launch would otherwise pin every later launch at up to 128
+        full-grid extraction passes (stage 1.5 unrolls ``cap_coarse``
+        masked [R,128] reductions) plus a recompile per bump — halving
+        only when the observed max fits in half the cap limits recompile
+        churn while still converging back to the 8-slot steady state."""
+        if self._cap_coarse > 8 and nc <= self._cap_coarse // 2:
+            self._cap_coarse = max(8, self._cap_coarse // 2)
 
     def launch_device(self, chunks_d, lengths_d, cap_a, cap_b):
         """One speculative filter→verify chain entirely on device.
@@ -882,6 +896,7 @@ class CascadeModel:
                     capacity = _next_pow2(n)
                 if nc > self._cap_coarse:
                     self._cap_coarse = min(128, _next_pow2(nc))
+            self._decay_cap_coarse(nc)
             return self.expand_hits(
                 np.asarray(idx), np.asarray(lw), np.asarray(sw), n,
                 packed.row_len, packed.lengths,

@@ -621,9 +621,11 @@ def sharded_sampled_verified(
     Returns ``(cells [n_shards, capB] global grid ids, n_flagged
     [n_shards] replicated, gstats_hits [2], gstats_flagged [2],
     gstats_coarse [2])`` where each gstats is the replicated ``[psum,
-    pmax]`` of that stage's counts (coarse == hits on the single-stage
-    take path).  Dispatches the two-stage VMEM filter per chip when the
-    model's bloom_impl resolves to it."""
+    pmax]`` of that stage's counts.  The single-stage take path has no
+    per-row slot capacity, so it reports zeroed coarse stats — the
+    caller's ``nc <= _cap_coarse`` check must never trip there (mirrors
+    ``CascadeModel.scan_hits_sampled``).  Dispatches the two-stage VMEM
+    filter per chip when the model's bloom_impl resolves to it."""
     plan = cascade_model.plan
     dev = cascade_model.device_arrays
     dd = cascade_model.dense_model.device_arrays
@@ -687,7 +689,13 @@ def sharded_sampled_verified(
         cap_flagged=cap_flagged,
         collect=collect,
     )
-    return cells, nfs, gh, gf, gh
+    # Take path has no stage-1 slot capacity: report zeroed coarse stats
+    # so adaptive_chain's nc <= _cap_coarse check never trips (the hit
+    # count can legitimately exceed the 128-clamped coarse cap, which
+    # would otherwise retry forever).
+    import jax.numpy as _jnp
+
+    return cells, nfs, gh, gf, _jnp.zeros_like(gh)
 
 
 def sharded_filter_hits_sampled(

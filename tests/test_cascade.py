@@ -457,6 +457,34 @@ def test_sampled_cascade_sharded_parity():
         )
 
 
+def test_sampled_sharded_take_path_dense_hits_terminates():
+    """Regression (ADVICE r3 high): the sharded take path reported its
+    hit gstats as the coarse gstats; with > 128 hits in a shard the
+    128-clamped ``_cap_coarse`` could never satisfy ``nc <= cap`` and
+    ``_run_sharded_cascade`` retried forever.  The take path must report
+    zeroed coarse stats, terminate, and stay exact."""
+    rng = random.Random(31337)
+    patterns = [b"needleneedlenee", b"haystackhaystac"]
+    docs = []
+    for _ in range(8):
+        d = bytearray(rng.choice(b"xyzuvw") for _ in range(6000))
+        for k in range(200):  # >> 128 flagged cells per shard
+            pos = rng.randrange(0, len(d) - 16)
+            d[pos : pos + 15] = patterns[k % 2]
+        docs.append(bytes(d))
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=True,
+                     chunk_len=512, cascade_mode="sampled",
+                     bloom_impl="take")
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)], cfg)
+    assert m.cascade_model is not None
+    assert m.cascade_model.bloom_impl() == "take"
+    res = m.match_many(docs)
+    for doc, recs in zip(docs, res):
+        assert [(r["pos"], r["keyIdx"]) for r in recs] == brute_force(
+            patterns, doc
+        )
+
+
 def test_sampled_two_probe_parity():
     # a tiny bloom cap saturates the 1-probe filter; the planner must
     # escalate to 2 AND-combined probes and stay exact
