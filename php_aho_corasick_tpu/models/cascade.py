@@ -429,11 +429,20 @@ class CascadeModel:
         self._cap_hits = 4096
         self._cap_flagged = 256
         #: stage-1 slot capacity of the two-stage VMEM filter: max coarse
-        #: survivors per 128-lane grid row (row-pack rank extraction,
-        #: ops/filter_jax.py stage 1.5).  Structurally <= 128; ~1 at
-        #: planner stray rates, so 8 covers the Poisson tail without a
-        #: first-launch retry.
+        #: survivors per slot group — a FUSED_BLOCK_R-cell block column in
+        #: the fused kernel (ops/filter_pallas.fused_sampled_extract), a
+        #: 128-lane grid row on the unfused fallback.  Structurally
+        #: <= 128.  Seeded from the planner's stray estimate so the first
+        #: launch doesn't walk the doubling ladder (each bump recompiles).
         self._cap_coarse = 8
+        self._force_take = False
+        if plan.vmem_words is not None:
+            from ..ops.filter_jax import FUSED_BLOCK_R
+
+            lam = plan.vmem_est_stray * FUSED_BLOCK_R
+            init = int(lam + 6.0 * lam**0.5 + 2)
+            self._cap_coarse = max(8, min(128, -(-init // 8) * 8))
+        self._cap_coarse_floor = self._cap_coarse
 
     @property
     def learned_caps(self) -> Tuple[int, int]:
@@ -536,6 +545,11 @@ class CascadeModel:
 
     def bloom_impl(self) -> str:
         impl = self.config.bloom_impl
+        if self._force_take:
+            # a launch saw > 128 coarse survivors in one slot group — the
+            # fused extraction cannot represent that density; the take
+            # filter (no slot capacity) is the exact fallback
+            return "take"
         if impl == "auto":
             if self.plan.vmem_words is not None:
                 import jax
@@ -665,22 +679,31 @@ class CascadeModel:
             if nf > cap_b:
                 cap_b = _next_pow2(nf)
             if nc > self._cap_coarse:
-                self._cap_coarse = min(128, _next_pow2(nc))
+                self._grow_cap_coarse(nc)
         self._cap_hits = max(256, _next_pow2(n + n // 4))
         self._cap_flagged = cap_b
         self._decay_cap_coarse(nc)
         return cells, nf
 
+    def _grow_cap_coarse(self, nc: int) -> None:
+        """Grow the stage-1 slot cap after an overflow; past the 128-slot
+        structural ceiling of the extraction, permanently fall back to
+        the take filter (exact, no slot capacity) instead of spinning."""
+        if _next_pow2(nc) > 128:
+            self._force_take = True
+        else:
+            self._cap_coarse = min(128, _next_pow2(nc))
+
     def _decay_cap_coarse(self, nc: int) -> None:
         """Decay the learned stage-1 slot cap back toward the planner
-        default once dense launches stop recurring.  One 128-bumping
+        seed once dense launches stop recurring.  One 128-bumping
         launch would otherwise pin every later launch at up to 128
-        full-grid extraction passes (stage 1.5 unrolls ``cap_coarse``
-        masked [R,128] reductions) plus a recompile per bump — halving
-        only when the observed max fits in half the cap limits recompile
-        churn while still converging back to the 8-slot steady state."""
-        if self._cap_coarse > 8 and nc <= self._cap_coarse // 2:
-            self._cap_coarse = max(8, self._cap_coarse // 2)
+        masked-reduction extraction passes plus a recompile per bump —
+        halving only when the observed max fits in half the cap limits
+        recompile churn while still converging back to the seed."""
+        floor = self._cap_coarse_floor
+        if self._cap_coarse > floor and nc <= self._cap_coarse // 2:
+            self._cap_coarse = max(floor, self._cap_coarse // 2)
 
     def launch_device(self, chunks_d, lengths_d, cap_a, cap_b):
         """One speculative filter→verify chain entirely on device.
@@ -895,7 +918,7 @@ class CascadeModel:
                 if n > capacity:
                     capacity = _next_pow2(n)
                 if nc > self._cap_coarse:
-                    self._cap_coarse = min(128, _next_pow2(nc))
+                    self._grow_cap_coarse(nc)
             self._decay_cap_coarse(nc)
             return self.expand_hits(
                 np.asarray(idx), np.asarray(lw), np.asarray(sw), n,

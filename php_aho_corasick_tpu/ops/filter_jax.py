@@ -301,6 +301,27 @@ def filter_hits_sampled(
     return idx, lw, swo, n_hits
 
 
+#: grid-step height of the fused filter kernel; also the survivor-group
+#: size of its rank extraction (one group per block column), so the
+#: learned ``cap_coarse`` scales with it (models/cascade.py seeds it from
+#: the planner's stray estimate x FUSED_BLOCK_R)
+FUSED_BLOCK_R = 1024
+
+
+def _short_start_words(chunks, lengths, shorts, stride, M):
+    """Exact short-pattern starts packed per grid cell (bit ``i`` =>
+    short match starting at ``m * stride + i``)."""
+    B, L = chunks.shape
+    sm = short_pattern_mask(chunks, shorts)
+    sm &= (
+        jax.lax.broadcasted_iota(jnp.int32, (B, L), 1) < lengths[:, None]
+    )
+    pad = jnp.zeros((B, M * stride - L), jnp.bool_)
+    cell = jnp.concatenate([sm, pad], 1).reshape(B, M, stride)
+    weights = jnp.int32(1) << jnp.arange(stride, dtype=jnp.int32)
+    return jnp.sum(cell * weights[None, None, :], axis=2, dtype=jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -308,12 +329,122 @@ def filter_hits_sampled(
         "fine_salts", "shorts", "capacity", "cap_coarse", "interpret",
     ),
 )
-def filter_hits_sampled_vmem(  # noqa: C901 - one fused device pass
+def filter_hits_sampled_vmem(
     table: jax.Array,  # [k * n_banks / pack, 128] int32 packed bank rows
     words: jax.Array,  # [2**log2_words] int32 HBM bloom (fine stage)
     chunks: jax.Array,  # [B, L] uint8
     lengths: jax.Array,  # [B] int32
     min_long_len: jax.Array,  # scalar int32 (0 disables the long path)
+    q: int,
+    stride: int,
+    log2_rows: int,
+    salts: Tuple[int, ...],
+    pack: int,
+    log2_words: int,
+    fine_salts: Tuple[int, ...],
+    shorts: Tuple[bytes, ...],
+    capacity: int,
+    cap_coarse: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Strided-sampled two-stage VMEM filter — fused-kernel edition.
+
+    When the cell-aligned gate holds (``stride % 4 == 0`` and ``stride |
+    L``), stage 1 runs as ONE Mosaic dispatch
+    (ops/filter_pallas.fused_sampled_extract): gram codes are assembled
+    in-kernel from the corpus word phases, probed against the VMEM bank
+    blooms, and survivors rank-extracted per block column — eliminating
+    the XLA codes pass, the [B, M] bloom-word materialization round
+    trip, and the XLA cumsum/extract passes of the round-3 chain
+    (docs/PERF_NOTES.md round-4 item 1).  ``cap_coarse`` here means max
+    survivors per ``FUSED_BLOCK_R``-cell column group.  Stage 2 (fine
+    HBM re-probe + compaction + sort) is unchanged XLA.
+
+    Falls back to :func:`_filter_hits_sampled_vmem_rows` (the round-3
+    per-128-lane-row chain) when the alignment gate fails.  Same
+    contract: ``(grid_idx [cap], long_word, short_word, n_final,
+    n_coarse)``; retry doubled on either count overflowing."""
+    from .filter_pallas import fused_sampled_extract
+
+    B, L = chunks.shape
+    M = -(-L // stride)
+    if not (stride % 4 == 0 and L % stride == 0 and cap_coarse <= 128):
+        return _filter_hits_sampled_vmem_rows(
+            table, words, chunks, lengths, min_long_len,
+            q=q, stride=stride, log2_rows=log2_rows, salts=salts,
+            pack=pack, log2_words=log2_words, fine_salts=fine_salts,
+            shorts=shorts, capacity=capacity, cap_coarse=cap_coarse,
+            interpret=interpret,
+        )
+    sw = (
+        _short_start_words(chunks, lengths, shorts, stride, M)
+        if shorts
+        else None
+    )
+    # corpus packed as int32 words via 4 strided lane slices, then split
+    # into the spc per-cell word phases the kernel consumes
+    wc = None
+    for k in range(4):
+        part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
+        wc = part if wc is None else (wc | part)
+    wc = jax.lax.bitcast_convert_type(wc, jnp.int32)
+    spc = stride // 4
+    phases = [wc[:, p::spc] for p in range(spc)]
+
+    block_r = FUSED_BLOCK_R
+    n_grid = B * M
+    R = -(-n_grid // 128)
+    n_blocks = max(1, -(-R // block_r))
+    R_pad = n_blocks * block_r
+
+    def to_grid(x, extra):
+        xf = x.reshape(-1)
+        padn = (R_pad + extra) * 128 - xf.shape[0]
+        xf = jnp.concatenate([xf, jnp.zeros((padn,), xf.dtype)])
+        return xf.reshape(R_pad + extra, 128)
+
+    phase_g = tuple(to_grid(p, 8) for p in phases)
+    sw_g = to_grid(sw, 0) if sw is not None else None
+    mll = jnp.asarray(min_long_len, jnp.int32).reshape(1, 1)
+    mpr = min(128, max(8, -(-cap_coarse // 8) * 8))
+    r_s, w_s, swo_s, c_s, cnt = fused_sampled_extract(
+        table, phase_g, sw_g, mll,
+        salts=salts, log2_rows=log2_rows, pack=pack, q=q, spc=spc,
+        mpr=mpr, block_r=block_r, n_grid=n_grid, interpret=interpret,
+    )
+
+    # stage 2: fine HBM re-probe on the (few) extracted slots
+    wf = None
+    for salt in fine_salts:
+        h = (c_s.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+        widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+        probe = jnp.take(words, widx)
+        wf = probe if wf is None else (wf & probe)
+    w_s = w_s & wf
+
+    nrows = n_blocks * mpr
+    blk = (jnp.arange(nrows, dtype=jnp.int32) // mpr)[:, None]
+    lane = jnp.arange(128, dtype=jnp.int32)[None, :]
+    cell_s = (blk * block_r + r_s) * 128 + lane
+    alive = (r_s >= 0) & ((w_s | swo_s) != 0) & (cell_s < n_grid)
+    slot, n_final = blocked_nonzero(alive.reshape(-1), capacity)
+    tot = nrows * 128
+    safe = jnp.minimum(slot, tot - 1)
+    valid = slot < INT32_MAX
+    idx = jnp.where(valid, jnp.take(cell_s.reshape(-1), safe), INT32_MAX)
+    lw = jnp.where(valid, jnp.take(w_s.reshape(-1), safe), 0)
+    swo = jnp.where(valid, jnp.take(swo_s.reshape(-1), safe), 0)
+    idx, lw, swo = jax.lax.sort((idx, lw, swo), num_keys=1)
+    return idx, lw, swo, n_final, jnp.max(cnt)
+
+
+def _filter_hits_sampled_vmem_rows(  # noqa: C901 - one fused device pass
+    table: jax.Array,  # [k * n_banks / pack, 128] int32 packed bank rows
+    words: jax.Array,  # [2**log2_words] int32 HBM bloom (fine stage)
+    chunks: jax.Array,  # [B, L] uint8
+    lengths: jax.Array,  # [B] int32
+    min_long_len: jax.Array,  # scalar int32 (0 disables the long path)
+    *,
     q: int,
     stride: int,
     log2_rows: int,

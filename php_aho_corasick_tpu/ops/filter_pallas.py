@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .filter_jax import KNUTH
+from .filter_jax import GRAM_BASE, KNUTH
 
 #: rows of 128 lanes per grid step.  Per bank step the kernel pays a
 #: dynamic-slice addressing cost once per block; at 256 rows that is
@@ -46,24 +46,12 @@ BLOCK_R = 1024
 SUB = 8  # Mosaic gather tile height
 
 
-def _vmem_kernel(
-    salts, log2_rows, n_banks, pack, table_ref, codes_ref, out_ref
-):
-    """Block-wide bank-select probe: hash the WHOLE [BLOCK_R, 128] block
-    of codes per salt, then fori_loop over bank rows — one dynamic-slice
-    row broadcast + lane take_along_axis + select per bank over the full
-    block.  The per-bank scalar work (dynamic slice addressing) amortizes
-    over BLOCK_R/8 tiles; a per-[8,128]-tile bank loop measured ~85
-    cycles/bank-step on v5e (probe3, docs/PERF_NOTES.md round 3) with the
-    slice overhead dominating.
-
-    ``pack`` banks share each physical row as 32/pack-bit subwords (a
-    positional word only carries ``stride`` alignment bits), dividing the
-    loop's step count — its entire cost — by ``pack`` for two extra
-    vector ops per step (subword shift+mask)."""
+def _bank_probe(table_ref, c, salts, log2_rows, n_banks, pack):
+    """Shared block-wide bank-select probe body: AND over ``salts`` of the
+    hashed bloom word of every code in the ``[R, 128]`` block ``c``.  See
+    ``_vmem_kernel`` for the cost model."""
     shift = jnp.uint32(32 - log2_rows)
-    R = codes_ref.shape[0]
-    c = codes_ref[...]
+    R = c.shape[0]
     n_rows = n_banks // pack
     sw = 32 // pack
     submask = jnp.uint32((1 << sw) - 1) if pack > 1 else None
@@ -96,7 +84,27 @@ def _vmem_kernel(
             0, n_rows, bank_body, jnp.zeros((R, 128), jnp.int32)
         )
         acc_all = acc if acc_all is None else (acc_all & acc)
-    out_ref[...] = acc_all
+    return acc_all
+
+
+def _vmem_kernel(
+    salts, log2_rows, n_banks, pack, table_ref, codes_ref, out_ref
+):
+    """Block-wide bank-select probe: hash the WHOLE [BLOCK_R, 128] block
+    of codes per salt, then fori_loop over bank rows — one dynamic-slice
+    row broadcast + lane take_along_axis + select per bank over the full
+    block.  The per-bank scalar work (dynamic slice addressing) amortizes
+    over BLOCK_R/8 tiles; a per-[8,128]-tile bank loop measured ~85
+    cycles/bank-step on v5e (probe3, docs/PERF_NOTES.md round 3) with the
+    slice overhead dominating.
+
+    ``pack`` banks share each physical row as 32/pack-bit subwords (a
+    positional word only carries ``stride`` alignment bits), dividing the
+    loop's step count — its entire cost — by ``pack`` for two extra
+    vector ops per step (subword shift+mask)."""
+    out_ref[...] = _bank_probe(
+        table_ref, codes_ref[...], salts, log2_rows, n_banks, pack
+    )
 
 
 @functools.partial(
@@ -192,6 +200,315 @@ def bloom_word_vmem(
         interpret=interpret,
     )(table, grid_codes)
     return out.reshape(-1)[:n].reshape(shape)
+
+
+def _roll(x, shift, axis, interpret):
+    """Circular shift; pltpu.roll on hardware, jnp.roll in interpreter
+    mode (the Mosaic interpreter lacks a pltpu.roll rule)."""
+    if interpret:
+        return jnp.roll(x, shift, axis=axis)
+    if shift < 0:  # pltpu.roll requires a non-negative shift
+        shift += x.shape[axis]
+    return pltpu.roll(x, shift=shift, axis=axis)
+
+
+def _flat_shift(X, next_row0, d, block_r, interpret):
+    """``out[r, l] = flat[r*128 + l + d]`` over the row-major flattening
+    of the ``[block_r, 128]`` block ``X`` (d < 128), reading the
+    overflow elements from the next block's first row ``next_row0``
+    ([1, 128]).  Two lane rolls + one sublane roll + selects — no
+    cross-lane gathers."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, X.shape, 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+    A = _roll(X, -d, 1, interpret)
+    Xdn = _roll(X, -1, 0, interpret)
+    Xdn = jnp.where(
+        row_i == block_r - 1, jnp.broadcast_to(next_row0, X.shape), Xdn
+    )
+    B = _roll(Xdn, -d, 1, interpret)
+    return jnp.where(lane_i < 128 - d, A, B)
+
+
+def _fused_kernel(
+    salts, log2_rows, n_banks, pack, q, spc, mpr, block_r, n_grid,
+    gram_weights, has_shorts, interpret, *refs
+):
+    """One grid step of the fused sampled filter (the whole round-4
+    headline chain up to the fine re-probe, docs/PERF_NOTES.md):
+
+    1. assemble the q-gram code of every grid cell from the ``spc``
+       corpus word *phases* (plane ``j4`` = phase ``j4 % spc`` flat-
+       shifted ``j4 // spc`` cells — pure rolls, no gathers), replacing
+       the separate XLA codes pass AND the [B, M] code materialization;
+    2. probe the k salted VMEM bank blooms (``_bank_probe``);
+    3. rank-extract survivors per *block column* (groups of ``block_r``
+       cells): a sublane cumsum ranks each column's hits and slot ``k``
+       captures the (k+1)-th hit's row / word / code by masked sublane
+       sums — lane-major ``[mpr, 128]`` outputs, replacing the XLA
+       cumsum/extract passes over the full w grid.
+
+    Cross-row gram semantics: a cell whose gram overruns its document
+    row reads the NEXT row's bytes (flat corpus), not zeros — such a
+    cell can never be a true long-pattern hit (a true hit's gram lies
+    inside the occurrence), so this only perturbs stray cells, which the
+    fine re-probe + window verify discard.  Cells past ``n_grid`` (grid
+    padding) are masked out of ``hit`` entirely."""
+    n_words = (q - 1) // 4 + 1
+    table_ref = refs[0]
+    phases = refs[1 : 1 + spc]
+    nexts = refs[1 + spc : 1 + 2 * spc]
+    pos = 1 + 2 * spc
+    sw_ref = refs[pos] if has_shorts else None
+    pos += 1 if has_shorts else 0
+    mll_ref = refs[pos]
+    r_ref, w_ref, swo_ref, c_ref, cnt_ref = refs[pos + 1 : pos + 6]
+
+    planes = []
+    for j4 in range(n_words):
+        ph, d = j4 % spc, j4 // spc
+        X = phases[ph][...]
+        if d == 0:
+            planes.append(X)
+        else:
+            planes.append(
+                _flat_shift(X, nexts[ph][0:1, :], d, block_r, interpret)
+            )
+    code = jnp.zeros((block_r, 128), jnp.uint32)
+    for j in range(q):
+        j4, k = divmod(j, 4)
+        byte = (
+            planes[j4].astype(jnp.uint32) >> jnp.uint32(8 * k)
+        ) & jnp.uint32(0xFF)
+        code = code + byte * jnp.uint32(gram_weights[j])
+    code = code.astype(jnp.int32)
+
+    w = _bank_probe(table_ref, code, salts, log2_rows, n_banks, pack)
+    w = jnp.where(mll_ref[0, 0] > 0, w, 0)
+    sw = sw_ref[...] if has_shorts else jnp.zeros_like(w)
+
+    i = pl.program_id(0)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (block_r, 128), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (block_r, 128), 1)
+    cell = (i * block_r + row_i) * 128 + lane_i
+    hit = ((w | sw) != 0) & (cell < n_grid)
+    hi = hit.astype(jnp.int32)
+    # cnt block is (8, 128) — the TPU block minimum — holding the count
+    # broadcast down its sublanes; the wrapper reads row 0 of each block
+    cnt_ref[...] = jnp.broadcast_to(
+        jnp.sum(hi, axis=0, keepdims=True), (8, 128)
+    )
+    # sublane cumsum by log2(block_r) shifted adds
+    ranks = hi
+    d = 1
+    while d < block_r:
+        sh = _roll(ranks, d, 0, interpret)
+        ranks = ranks + jnp.where(row_i >= d, sh, 0)
+        d *= 2
+    for k in range(mpr):
+        sel = hit & (ranks == k + 1)  # <= one row per column
+        r_ref[k : k + 1, :] = (
+            jnp.sum(jnp.where(sel, row_i + 1, 0), axis=0, keepdims=True)
+            - 1
+        )
+        w_ref[k : k + 1, :] = jnp.sum(
+            jnp.where(sel, w, 0), axis=0, keepdims=True
+        )
+        c_ref[k : k + 1, :] = jnp.sum(
+            jnp.where(sel, code, 0), axis=0, keepdims=True
+        )
+        if has_shorts:
+            swo_ref[k : k + 1, :] = jnp.sum(
+                jnp.where(sel, sw, 0), axis=0, keepdims=True
+            )
+    if not has_shorts:
+        swo_ref[...] = jnp.zeros((mpr, 128), jnp.int32)
+
+
+def _bank_probe_xla(table, code, salts, log2_rows, pack):
+    """Pure-XLA mirror of ``_bank_probe`` (flat bloom take); shared by
+    the bloom_word_vmem and fused-kernel interpret paths."""
+    N = (1 << log2_rows) // pack  # physical words per probe table
+    sw = 32 // pack
+    words_flat = table.reshape(-1)
+    acc = None
+    for p, salt in enumerate(salts):
+        h = (code.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(
+            KNUTH
+        )
+        rows = (h >> jnp.uint32(32 - log2_rows)).astype(jnp.int32)
+        if pack > 1:
+            lane = rows & 127
+            bank = rows >> 7
+            phys = (bank // pack) * 128 + lane
+            got = jnp.take(words_flat, p * N + phys)
+            got = (
+                (got.astype(jnp.uint32) >> ((bank % pack) * sw))
+                & jnp.uint32((1 << sw) - 1)
+            ).astype(jnp.int32)
+        else:
+            got = jnp.take(words_flat, p * N + rows)
+        acc = got if acc is None else (acc & got)
+    return acc
+
+
+def _fused_extract_xla(
+    table, phase_g, sw_g, mll, salts, log2_rows, pack, q, spc, mpr,
+    block_r, n_blocks, n_grid, gram_weights,
+):
+    """Exact XLA mirror of the fused kernel (same plane/grouping/slot
+    semantics) for CPU runs and shard_map interpret mode."""
+    R_pad = n_blocks * block_r
+    tot = R_pad * 128
+    n_words = (q - 1) // 4 + 1
+    planes = []
+    for j4 in range(n_words):
+        ph, d = j4 % spc, j4 // spc
+        pf = phase_g[ph].reshape(-1)
+        planes.append(jax.lax.dynamic_slice_in_dim(pf, d, tot, 0))
+    code = jnp.zeros((tot,), jnp.uint32)
+    for j in range(q):
+        j4, k = divmod(j, 4)
+        byte = (
+            planes[j4].astype(jnp.uint32) >> jnp.uint32(8 * k)
+        ) & jnp.uint32(0xFF)
+        code = code + byte * jnp.uint32(gram_weights[j])
+    code = code.astype(jnp.int32)
+    w = _bank_probe_xla(table, code, salts, log2_rows, pack)
+    w = jnp.where(mll[0, 0] > 0, w, 0)
+    sw = sw_g.reshape(-1) if sw_g is not None else jnp.zeros_like(w)
+    cell = jnp.arange(tot, dtype=jnp.int32)
+    hit = ((w | sw) != 0) & (cell < n_grid)
+
+    def g3(x):
+        return x.reshape(n_blocks, block_r, 128)
+
+    w3, sw3, c3, h3 = g3(w), g3(sw), g3(code), g3(hit)
+    hi = h3.astype(jnp.int32)
+    cnt = jnp.sum(hi, axis=1)  # [n_blocks, 128]
+    ranks = jnp.cumsum(hi, axis=1)
+    row_i = jax.lax.broadcasted_iota(
+        jnp.int32, (n_blocks, block_r, 128), 1
+    )
+    r_s, w_s, swo_s, c_s = [], [], [], []
+    for k in range(mpr):
+        sel = h3 & (ranks == k + 1)
+        r_s.append(jnp.sum(jnp.where(sel, row_i + 1, 0), axis=1) - 1)
+        w_s.append(jnp.sum(jnp.where(sel, w3, 0), axis=1))
+        swo_s.append(jnp.sum(jnp.where(sel, sw3, 0), axis=1))
+        c_s.append(jnp.sum(jnp.where(sel, c3, 0), axis=1))
+
+    def st(parts):  # [n_blocks, mpr, 128] -> [n_blocks * mpr, 128]
+        return jnp.stack(parts, axis=1).reshape(n_blocks * mpr, 128)
+
+    return st(r_s), st(w_s), st(swo_s), st(c_s), cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "salts", "log2_rows", "pack", "q", "spc", "mpr", "block_r",
+        "n_grid", "interpret", "force_pallas",
+    ),
+)
+def fused_sampled_extract(
+    table: jax.Array,  # [k * n_banks / pack, 128] int32 packed bank rows
+    phase_g: tuple,  # spc arrays [R_pad + 8, 128] int32 corpus word phases
+    sw_g,  # [R_pad, 128] int32 short-start words, or None
+    mll: jax.Array,  # [1, 1] int32 min_long_len
+    salts: tuple,
+    log2_rows: int,
+    pack: int,
+    q: int,
+    spc: int,  # corpus words per grid cell (stride // 4)
+    mpr: int,  # slots per block column (multiple of 8)
+    block_r: int,
+    n_grid: int,  # valid cells (B * M); the rest is padding
+    interpret: bool = False,
+    force_pallas: bool = False,
+):
+    """Fused codes+probe+rank-extract dispatch.  Returns ``(r_s, w_s,
+    swo_s, c_s, cnt)`` with slot arrays ``[n_blocks * mpr, 128]`` (block
+    ``i``'s slots at rows ``[i*mpr, (i+1)*mpr)``; ``r_s`` = row within
+    block, -1 when empty) and ``cnt [n_blocks, 128]`` the per-column true
+    survivor counts (overflow signal: ``max(cnt) > mpr`` means slots were
+    dropped and the launch must retry with a bigger ``cap_coarse``)."""
+    assert mpr % 8 == 0, "slot rows must tile the sublane dim"
+    R_pad = phase_g[0].shape[0] - 8
+    n_blocks = R_pad // block_r
+    n_banks = (1 << log2_rows) // 128
+    has_shorts = sw_g is not None
+    gram_weights = tuple(
+        int(pow(GRAM_BASE, q - 1 - j, 1 << 32)) for j in range(q)
+    )
+    if interpret and not force_pallas:
+        return _fused_extract_xla(
+            table, phase_g, sw_g, mll, salts, log2_rows, pack, q, spc,
+            mpr, block_r, n_blocks, n_grid, gram_weights,
+        )
+    try:
+        vma = jax.typeof(phase_g[0]).vma
+    except AttributeError:  # pragma: no cover - older jax
+        vma = None
+
+    def sds(shape):
+        if vma:
+            return jax.ShapeDtypeStruct(shape, jnp.int32, vma=vma)
+        return jax.ShapeDtypeStruct(shape, jnp.int32)
+
+    nb8 = block_r // 8
+    in_specs = [
+        pl.BlockSpec(
+            (len(salts) * n_banks // pack, 128), lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    in_specs += [
+        pl.BlockSpec((block_r, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(spc)
+    ]
+    in_specs += [
+        pl.BlockSpec((8, 128), lambda i, nb8=nb8: ((i + 1) * nb8, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(spc)
+    ]
+    args = [table, *phase_g, *phase_g]
+    if has_shorts:
+        in_specs.append(
+            pl.BlockSpec((block_r, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(sw_g)
+    in_specs.append(
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    )
+    args.append(mll)
+    slot_spec = pl.BlockSpec((mpr, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, salts, log2_rows, n_banks, pack, q, spc, mpr,
+            block_r, n_grid, gram_weights, has_shorts, interpret,
+        ),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            slot_spec, slot_spec, slot_spec, slot_spec,
+            pl.BlockSpec((8, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            sds((n_blocks * mpr, 128)),
+            sds((n_blocks * mpr, 128)),
+            sds((n_blocks * mpr, 128)),
+            sds((n_blocks * mpr, 128)),
+            sds((n_blocks * 8, 128)),
+        ],
+        interpret=interpret,
+    )(*args)
+    r_s, w_s, swo_s, c_s, cnt8 = out
+    cnt = cnt8.reshape(n_blocks, 8, 128)[:, 0, :]
+    return r_s, w_s, swo_s, c_s, cnt
 
 
 def _kernel(n_banks: int, bloom_ref, slots_ref, out_ref):

@@ -584,6 +584,64 @@ def test_vmem_bloom_word_matches_host():
         np.testing.assert_array_equal(got4, acc8.astype(np.int32))
 
 
+@pytest.mark.parametrize("pack,has_shorts", [(1, False), (4, True)])
+def test_fused_sampled_extract_kernel_parity(pack, has_shorts):
+    """Round-4 fused kernel vs its XLA mirror, bit-for-bit: in-kernel
+    plane shifts (cross-block rolls), gram-code assembly, bank probe,
+    per-column rank extraction, and the per-column counts must agree
+    between the Mosaic kernel body (pallas interpreter) and
+    _fused_extract_xla over a 2-block grid."""
+    import jax.numpy as jnp
+    from php_aho_corasick_tpu.ops.filter_jax import FUSED_BLOCK_R
+    from php_aho_corasick_tpu.ops.filter_pallas import (
+        fused_sampled_extract,
+    )
+
+    rng = np.random.default_rng(11 + pack)
+    q, stride = 9, 8
+    spc = stride // 4
+    log2_rows = 10
+    N = 1 << log2_rows
+    salts = tuple((0x9E3779B9 * (2 * i + 1)) & 0xFFFFFFFF for i in range(3))
+    k = len(salts)
+    table = jnp.asarray(
+        rng.integers(0, 2**31, (k * (N // 128) // pack, 128))
+        .astype(np.int32)
+    )
+    n_blocks = 2
+    R_pad = n_blocks * FUSED_BLOCK_R
+    n_grid = R_pad * 128 - 555  # a padded tail exercises the cell gate
+    phase_g = tuple(
+        jnp.asarray(
+            rng.integers(-(2**31), 2**31, (R_pad + 8, 128), dtype=np.int64)
+            .astype(np.int32)
+        )
+        for _ in range(spc)
+    )
+    sw_np = (
+        rng.integers(0, 2, (R_pad, 128)).astype(np.int32)
+        * (rng.random((R_pad, 128)) < 0.01)
+        if has_shorts
+        else None
+    )
+    sw_g = jnp.asarray(sw_np.astype(np.int32)) if has_shorts else None
+    mll = jnp.ones((1, 1), jnp.int32)
+    kw = dict(
+        salts=salts, log2_rows=log2_rows, pack=pack, q=q, spc=spc,
+        mpr=16, block_r=FUSED_BLOCK_R, n_grid=n_grid, interpret=True,
+    )
+    got_k = fused_sampled_extract(
+        table, phase_g, sw_g, mll, force_pallas=True, **kw
+    )
+    got_x = fused_sampled_extract(table, phase_g, sw_g, mll, **kw)
+    for a, b in zip(got_k, got_x):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sanity: some survivors were extracted and the counts match them
+    r_s, w_s, swo_s, c_s, cnt = (np.asarray(x) for x in got_k)
+    assert int(cnt.sum()) > 0
+    assert int((r_s >= 0).sum()) == int(np.minimum(cnt, 16).sum())
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_sampled_vmem_parity_fuzz(seed):
     """Full-pipeline parity with the lane-partitioned VMEM bloom forced
