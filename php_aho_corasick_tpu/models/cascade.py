@@ -66,6 +66,15 @@ class CascadePlan:
     vmem_pack: int = 1
     #: planner's per-cell stray-hit estimate for the VMEM bloom (diagnostics)
     vmem_est_stray: float = 0.0
+    #: pattern-prefix bit bloom (stage-2 refinement of the fused filter):
+    #: entries are the rolling hash of each long pattern's first
+    #: ``prefix_len`` bytes; a slot whose coarse word names exactly one
+    #: alignment is kept only if its window's prefix hash probes positive
+    #: — kills true-q-gram-collision strays (ops/filter_jax.py)
+    prefix_words: Optional[np.ndarray] = None  # [2**prefix_log2 / 32] int32
+    prefix_salts: Tuple[int, ...] = ()
+    prefix_log2: int = 0
+    prefix_len: int = 0
 
 
 def _gram_code_u32(classes: Sequence[int], n_classes: int) -> int:
@@ -255,6 +264,38 @@ def _plan_vmem_bloom(
     )
 
 
+def _plan_prefix_bloom(longs: Sequence[bytes], min_long: int) -> dict:
+    """Build the pattern-prefix bit bloom for stage-2 refinement: one
+    entry per distinct ``prefix_len``-byte pattern prefix, hashed by the
+    device's rolling polynomial (ops/filter_pallas._prefix_hash_select).
+    Sized for <= ~1/512 fill per salt; a second salt squares the fill
+    when the entry count forces a large table."""
+    from ..ops.filter_jax import GRAM_BASE, KNUTH
+
+    l16 = min(min_long, 16)
+    hashes = set()
+    for p in longs:
+        h = 0
+        for byte in p[:l16]:
+            h = (h * GRAM_BASE + byte) & 0xFFFFFFFF
+        hashes.add(h)
+    n = max(len(hashes), 1)
+    log2_p = min(max(int(np.ceil(np.log2(n))) + 9, 14), 26)
+    fill = n / (1 << log2_p)
+    salts = (0x7F4A7C15, 0x94D049BB)[: (1 if fill <= 1 / 256 else 2)]
+    words = np.zeros((1 << log2_p) // 32, dtype=np.uint32)
+    hs = np.fromiter(hashes, np.uint32, len(hashes))
+    for salt in salts:
+        hh = (hs ^ np.uint32(salt)) * np.uint32(KNUTH)
+        slots = (hh >> np.uint32(32 - log2_p)).astype(np.int64)
+        np.bitwise_or.at(
+            words, slots >> 5, np.uint32(1) << (slots & 31).astype(np.uint32)
+        )
+    return dict(
+        words=words.view(np.int32), salts=salts, log2=log2_p, len=l16
+    )
+
+
 def _plan_sampled(
     longs: Sequence[bytes],
     auto: CompiledAutomaton,
@@ -340,6 +381,7 @@ def plan_cascade(
             density = hit_rate / s
             if density <= config.cascade_max_cand_density:
                 vmem = _plan_vmem_bloom(codes, aligns, len(longs), s, config)
+                prefix = _plan_prefix_bloom(longs, min_long)
                 return CascadePlan(
                     True,
                     f"sampled q={q} stride={s} probes={len(salts)}"
@@ -363,6 +405,10 @@ def plan_cascade(
                     vmem_words=vmem["words"] if vmem else None,
                     vmem_pack=vmem["pack"] if vmem else 1,
                     vmem_est_stray=vmem["stray"] if vmem else 0.0,
+                    prefix_words=prefix["words"],
+                    prefix_salts=prefix["salts"],
+                    prefix_log2=prefix["log2"],
+                    prefix_len=prefix["len"],
                 )
         if config.cascade_mode == "sampled":
             return CascadePlan(
@@ -539,6 +585,8 @@ class CascadeModel:
                     # [k * n_banks, 128] per-probe bank tables, VMEM-resident
                     # inside the kernel (ops/filter_pallas.bloom_word_vmem)
                     self._dev["vmem_table"] = jnp.asarray(p.vmem_words)
+                if p.prefix_words is not None:
+                    self._dev["prefix_words"] = jnp.asarray(p.prefix_words)
             else:
                 self._dev["bloom_words"] = jnp.asarray(p.bloom_words)
         return self._dev
@@ -601,6 +649,10 @@ class CascadeModel:
                 shorts=p.shorts,
                 capacity=capacity,
                 cap_coarse=cap_coarse or self._cap_coarse,
+                prefix_words=dev.get("prefix_words"),
+                prefix_salts=p.prefix_salts,
+                prefix_log2=p.prefix_log2,
+                prefix_len=p.prefix_len,
                 interpret=jax.default_backend() != "tpu",
             )
         idx, lw, sw, n = filter_hits_sampled(

@@ -326,7 +326,8 @@ def _short_start_words(chunks, lengths, shorts, stride, M):
     jax.jit,
     static_argnames=(
         "q", "stride", "log2_rows", "salts", "pack", "log2_words",
-        "fine_salts", "shorts", "capacity", "cap_coarse", "interpret",
+        "fine_salts", "shorts", "capacity", "cap_coarse",
+        "prefix_salts", "prefix_log2", "prefix_len", "interpret",
     ),
 )
 def filter_hits_sampled_vmem(
@@ -345,6 +346,10 @@ def filter_hits_sampled_vmem(
     shorts: Tuple[bytes, ...],
     capacity: int,
     cap_coarse: int,
+    prefix_words=None,  # [2**prefix_log2 / 32] int32 bit bloom, or None
+    prefix_salts: Tuple[int, ...] = (),
+    prefix_log2: int = 0,
+    prefix_len: int = 0,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Strided-sampled two-stage VMEM filter — fused-kernel edition.
@@ -357,8 +362,19 @@ def filter_hits_sampled_vmem(
     the XLA codes pass, the [B, M] bloom-word materialization round
     trip, and the XLA cumsum/extract passes of the round-3 chain
     (docs/PERF_NOTES.md round-4 item 1).  ``cap_coarse`` here means max
-    survivors per ``FUSED_BLOCK_R``-cell column group.  Stage 2 (fine
-    HBM re-probe + compaction + sort) is unchanged XLA.
+    survivors per ``FUSED_BLOCK_R``-cell column group.
+
+    Stage 2 with a prefix plan (``prefix_words``): each slot whose
+    coarse word names exactly ONE alignment carries the rolling hash of
+    its ``prefix_len``-byte candidate window (computed in-kernel) and is
+    refined by a single bit-bloom probe against the pattern-prefix
+    bloom — this kills the true-q-gram-collision stray floor (grams
+    that genuinely equal a pattern gram but whose window is no match),
+    so ``n_final`` approaches the real match count and every downstream
+    capacity (window verify, compaction) collapses with it.  Multi-
+    alignment slots (rare) pass through unrefined — exactness is never
+    entrusted to the bloom.  Without a prefix plan, stage 2 is the
+    round-3 fine HBM q-gram re-probe.
 
     Falls back to :func:`_filter_hits_sampled_vmem_rows` (the round-3
     per-128-lane-row chain) when the alignment gate fails.  Same
@@ -376,6 +392,12 @@ def filter_hits_sampled_vmem(
             shorts=shorts, capacity=capacity, cap_coarse=cap_coarse,
             interpret=interpret,
         )
+    prefix_on = (
+        prefix_words is not None
+        and stride <= 16
+        and 4 <= prefix_len <= 20
+        and prefix_salts
+    )
     sw = (
         _short_start_words(chunks, lengths, shorts, stride, M)
         if shorts
@@ -407,26 +429,49 @@ def filter_hits_sampled_vmem(
     sw_g = to_grid(sw, 0) if sw is not None else None
     mll = jnp.asarray(min_long_len, jnp.int32).reshape(1, 1)
     mpr = min(128, max(8, -(-cap_coarse // 8) * 8))
-    r_s, w_s, swo_s, c_s, cnt = fused_sampled_extract(
+    r_s, w_s, swo_s, h_s, cnt = fused_sampled_extract(
         table, phase_g, sw_g, mll,
         salts=salts, log2_rows=log2_rows, pack=pack, q=q, spc=spc,
-        mpr=mpr, block_r=block_r, n_grid=n_grid, interpret=interpret,
+        mpr=mpr, block_r=block_r, n_grid=n_grid,
+        l16=prefix_len if prefix_on else 0, prefix_on=bool(prefix_on),
+        interpret=interpret,
     )
 
-    # stage 2: fine HBM re-probe on the (few) extracted slots
-    wf = None
-    for salt in fine_salts:
-        h = (c_s.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
-        widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
-        probe = jnp.take(words, widx)
-        wf = probe if wf is None else (wf & probe)
-    w_s = w_s & wf
+    if prefix_on:
+        # stage 2a: one prefix-bloom bit probe per single-alignment slot
+        ok = None
+        for salt in prefix_salts:
+            hh = (h_s.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(
+                KNUTH
+            )
+            slots_b = (hh >> jnp.uint32(32 - prefix_log2)).astype(
+                jnp.int32
+            )
+            bit = bloom_hit_take(prefix_words, slots_b)
+            ok = bit if ok is None else (ok & bit)
+        v = w_s & ((1 << stride) - 1)
+        single = (v != 0) & ((v & (v - 1)) == 0)
+        long_ok = (w_s != 0) & (jnp.logical_not(single) | (ok == 1))
+    else:
+        # stage 2: fine HBM q-gram re-probe (h_s carries the code)
+        wf = None
+        for salt in fine_salts:
+            h = (h_s.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(
+                KNUTH
+            )
+            widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+            probe = jnp.take(words, widx)
+            wf = probe if wf is None else (wf & probe)
+        w_s = w_s & wf
+        long_ok = w_s != 0
 
     nrows = n_blocks * mpr
     blk = (jnp.arange(nrows, dtype=jnp.int32) // mpr)[:, None]
     lane = jnp.arange(128, dtype=jnp.int32)[None, :]
     cell_s = (blk * block_r + r_s) * 128 + lane
-    alive = (r_s >= 0) & ((w_s | swo_s) != 0) & (cell_s < n_grid)
+    alive = (
+        (r_s >= 0) & (long_ok | (swo_s != 0)) & (cell_s < n_grid)
+    )
     slot, n_final = blocked_nonzero(alive.reshape(-1), capacity)
     tot = nrows * 128
     safe = jnp.minimum(slot, tot - 1)

@@ -229,55 +229,145 @@ def _flat_shift(X, next_row0, d, block_r, interpret):
     return jnp.where(lane_i < 128 - d, A, B)
 
 
+def _flat_shift_neg(X, prev_rows, d, is_first, interpret):
+    """``out[r, l] = flat[r*128 + l - d]`` (d > 0): the backward shift of
+    :func:`_flat_shift`, reading underflow elements from the previous
+    block's last row (``prev_rows[7]``).  On the first grid block the
+    underflowing lanes are forced to zero (there is no previous data;
+    the XLA mirror prepends zeros)."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, X.shape, 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+    A = _roll(X, d, 1, interpret)
+    Xup = _roll(X, 1, 0, interpret)
+    Xup = jnp.where(
+        row_i == 0, jnp.broadcast_to(prev_rows[7:8, :], X.shape), Xup
+    )
+    B = _roll(Xup, d, 1, interpret)
+    out = jnp.where(lane_i >= d, A, B)
+    return jnp.where(is_first & (row_i == 0) & (lane_i < d), 0, out)
+
+
+def _window_offsets(spc: int, l16: int):
+    """Word-offset range (relative to a cell's first word) covering every
+    candidate window ``[p - (s-1), p + l16)`` of the cell at byte
+    ``p``."""
+    s = 4 * spc
+    c_min = -(-(s - 1) // 4)
+    return -c_min, (l16 - 1) // 4
+
+
+def _prefix_hash_select(get_plane, w, s, l16, c_min, c_max):
+    """Rolling prefix-hash of every cell's single-alignment candidate.
+
+    For each cell at byte ``p`` with coarse word ``w``, the candidate
+    window of alignment ``j`` is ``[p - j, p - j + l16)``.  Computes all
+    ``s`` window hashes by one base hash + ``s-1`` O(1) rolling steps
+    (leading byte removed via the static ``K^(l16-1)`` weight, trailing
+    byte appended), then selects the hash of the alignment named by the
+    LOWEST set bit of ``w`` — exactly the single-candidate case the
+    caller refines; multi-bit cells are passed through unrefined.
+
+    ``get_plane(c)`` returns the corpus word at offset ``c`` from the
+    cell's first word; bytes are extracted lazily and memoized."""
+    K = jnp.uint32(GRAM_BASE)
+    KL = jnp.uint32(pow(GRAM_BASE, l16 - 1, 1 << 32))
+    plane_memo = {}
+    byte_memo = {}
+
+    def b(x):
+        if x not in byte_memo:
+            c, k = c_min + x // 4, x % 4
+            if c not in plane_memo:
+                plane_memo[c] = get_plane(c)
+            byte_memo[x] = (
+                plane_memo[c].astype(jnp.uint32) >> jnp.uint32(8 * k)
+            ) & jnp.uint32(0xFF)
+        return byte_memo[x]
+
+    smask = (1 << s) - 1 if s < 32 else -1
+    w8 = w & smask
+    low = w8 & (0 - w8)  # lowest set bit (0 when no bits)
+    off = -4 * c_min - (s - 1)  # window start byte of alignment s-1
+    H = jnp.zeros(w.shape, jnp.uint32)
+    for i in range(l16):
+        H = H + b(off + i) * jnp.uint32(pow(GRAM_BASE, l16 - 1 - i, 1 << 32))
+    h = jnp.where(low == (1 << (s - 1)), H.astype(jnp.int32), 0)
+    for j in range(s - 2, -1, -1):
+        H = (H - b(off) * KL) * K + b(off + l16)
+        off += 1
+        h = jnp.where(low == (1 << j), H.astype(jnp.int32), h)
+    return h
+
+
 def _fused_kernel(
-    salts, log2_rows, n_banks, pack, q, spc, mpr, block_r, n_grid,
-    gram_weights, has_shorts, interpret, *refs
+    salts, log2_rows, n_banks, pack, q, spc, mpr, block_r, n_grid, l16,
+    prefix_on, gram_weights, has_shorts, interpret, *refs
 ):
     """One grid step of the fused sampled filter (the whole round-4
-    headline chain up to the fine re-probe, docs/PERF_NOTES.md):
+    headline chain, docs/PERF_NOTES.md):
 
     1. assemble the q-gram code of every grid cell from the ``spc``
-       corpus word *phases* (plane ``j4`` = phase ``j4 % spc`` flat-
-       shifted ``j4 // spc`` cells — pure rolls, no gathers), replacing
-       the separate XLA codes pass AND the [B, M] code materialization;
+       corpus word *phases* (plane at word offset ``c`` = phase ``c %
+       spc`` flat-shifted ``c // spc`` cells — pure rolls, no gathers),
+       replacing the separate XLA codes pass AND the [B, M] code
+       materialization;
     2. probe the k salted VMEM bank blooms (``_bank_probe``);
-    3. rank-extract survivors per *block column* (groups of ``block_r``
+    3. with ``prefix_on``, compute every cell's rolling full-prefix
+       window hash and select the one named by the cell's single
+       alignment bit (``_prefix_hash_select``) — stage 2 then refines
+       each slot with ONE bloom probe of ``l16`` corpus bytes, killing
+       the true-q-gram-collision stray floor the old fine re-probe
+       could not see (a 6-letter q=9 corpus matches real pattern grams
+       at ~1.6e-3/cell — 25k false windows per 128 MiB that previously
+       went to window verification);
+    4. rank-extract survivors per *block column* (groups of ``block_r``
        cells): a sublane cumsum ranks each column's hits and slot ``k``
-       captures the (k+1)-th hit's row / word / code by masked sublane
+       captures the (k+1)-th hit's row / word / hash by masked sublane
        sums — lane-major ``[mpr, 128]`` outputs, replacing the XLA
        cumsum/extract passes over the full w grid.
 
     Cross-row gram semantics: a cell whose gram overruns its document
     row reads the NEXT row's bytes (flat corpus), not zeros — such a
     cell can never be a true long-pattern hit (a true hit's gram lies
-    inside the occurrence), so this only perturbs stray cells, which the
-    fine re-probe + window verify discard.  Cells past ``n_grid`` (grid
+    inside the occurrence), so this only perturbs stray cells, which
+    refinement + window verify discard.  Cells past ``n_grid`` (grid
     padding) are masked out of ``hit`` entirely."""
     n_words = (q - 1) // 4 + 1
     table_ref = refs[0]
     phases = refs[1 : 1 + spc]
     nexts = refs[1 + spc : 1 + 2 * spc]
     pos = 1 + 2 * spc
+    prevs = refs[pos : pos + spc] if prefix_on else ()
+    pos += spc if prefix_on else 0
     sw_ref = refs[pos] if has_shorts else None
     pos += 1 if has_shorts else 0
     mll_ref = refs[pos]
-    r_ref, w_ref, swo_ref, c_ref, cnt_ref = refs[pos + 1 : pos + 6]
+    r_ref, w_ref, swo_ref, h_ref, cnt_ref = refs[pos + 1 : pos + 6]
 
-    planes = []
-    for j4 in range(n_words):
-        ph, d = j4 % spc, j4 // spc
-        X = phases[ph][...]
-        if d == 0:
-            planes.append(X)
-        else:
-            planes.append(
-                _flat_shift(X, nexts[ph][0:1, :], d, block_r, interpret)
-            )
+    i = pl.program_id(0)
+    plane_memo = {}
+
+    def get_plane(c):
+        if c not in plane_memo:
+            ph, d = c % spc, c // spc
+            X = phases[ph][...]
+            if d == 0:
+                plane_memo[c] = X
+            elif d > 0:
+                plane_memo[c] = _flat_shift(
+                    X, nexts[ph][0:1, :], d, block_r, interpret
+                )
+            else:
+                plane_memo[c] = _flat_shift_neg(
+                    X, prevs[ph], -d, i == 0, interpret
+                )
+        return plane_memo[c]
+
     code = jnp.zeros((block_r, 128), jnp.uint32)
     for j in range(q):
         j4, k = divmod(j, 4)
         byte = (
-            planes[j4].astype(jnp.uint32) >> jnp.uint32(8 * k)
+            get_plane(j4).astype(jnp.uint32) >> jnp.uint32(8 * k)
         ) & jnp.uint32(0xFF)
         code = code + byte * jnp.uint32(gram_weights[j])
     code = code.astype(jnp.int32)
@@ -286,7 +376,14 @@ def _fused_kernel(
     w = jnp.where(mll_ref[0, 0] > 0, w, 0)
     sw = sw_ref[...] if has_shorts else jnp.zeros_like(w)
 
-    i = pl.program_id(0)
+    if prefix_on:
+        c_min, c_max = _window_offsets(spc, l16)
+        hval = _prefix_hash_select(
+            get_plane, w, 4 * spc, l16, c_min, c_max
+        )
+    else:
+        hval = code  # callers fall back to the q-gram fine re-probe
+
     row_i = jax.lax.broadcasted_iota(jnp.int32, (block_r, 128), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (block_r, 128), 1)
     cell = (i * block_r + row_i) * 128 + lane_i
@@ -313,8 +410,8 @@ def _fused_kernel(
         w_ref[k : k + 1, :] = jnp.sum(
             jnp.where(sel, w, 0), axis=0, keepdims=True
         )
-        c_ref[k : k + 1, :] = jnp.sum(
-            jnp.where(sel, code, 0), axis=0, keepdims=True
+        h_ref[k : k + 1, :] = jnp.sum(
+            jnp.where(sel, hval, 0), axis=0, keepdims=True
         )
         if has_shorts:
             swo_ref[k : k + 1, :] = jnp.sum(
@@ -353,36 +450,48 @@ def _bank_probe_xla(table, code, salts, log2_rows, pack):
 
 def _fused_extract_xla(
     table, phase_g, sw_g, mll, salts, log2_rows, pack, q, spc, mpr,
-    block_r, n_blocks, n_grid, gram_weights,
+    block_r, n_blocks, n_grid, l16, prefix_on, gram_weights,
 ):
-    """Exact XLA mirror of the fused kernel (same plane/grouping/slot
-    semantics) for CPU runs and shard_map interpret mode."""
+    """Exact XLA mirror of the fused kernel (same plane/grouping/slot/
+    hash semantics) for CPU runs and shard_map interpret mode."""
     R_pad = n_blocks * block_r
     tot = R_pad * 128
-    n_words = (q - 1) // 4 + 1
-    planes = []
-    for j4 in range(n_words):
-        ph, d = j4 % spc, j4 // spc
+
+    def get_plane(c):
+        ph, d = c % spc, c // spc
         pf = phase_g[ph].reshape(-1)
-        planes.append(jax.lax.dynamic_slice_in_dim(pf, d, tot, 0))
+        if d >= 0:
+            return jax.lax.dynamic_slice_in_dim(pf, d, tot, 0)
+        # kernel semantics: the corpus has no bytes before offset 0
+        return jnp.concatenate(
+            [jnp.zeros((-d,), pf.dtype), pf[: tot + d]]
+        )
+
     code = jnp.zeros((tot,), jnp.uint32)
     for j in range(q):
         j4, k = divmod(j, 4)
         byte = (
-            planes[j4].astype(jnp.uint32) >> jnp.uint32(8 * k)
+            get_plane(j4).astype(jnp.uint32) >> jnp.uint32(8 * k)
         ) & jnp.uint32(0xFF)
         code = code + byte * jnp.uint32(gram_weights[j])
     code = code.astype(jnp.int32)
     w = _bank_probe_xla(table, code, salts, log2_rows, pack)
     w = jnp.where(mll[0, 0] > 0, w, 0)
     sw = sw_g.reshape(-1) if sw_g is not None else jnp.zeros_like(w)
+    if prefix_on:
+        c_min, c_max = _window_offsets(spc, l16)
+        hval = _prefix_hash_select(
+            get_plane, w, 4 * spc, l16, c_min, c_max
+        )
+    else:
+        hval = code
     cell = jnp.arange(tot, dtype=jnp.int32)
     hit = ((w | sw) != 0) & (cell < n_grid)
 
     def g3(x):
         return x.reshape(n_blocks, block_r, 128)
 
-    w3, sw3, c3, h3 = g3(w), g3(sw), g3(code), g3(hit)
+    w3, sw3, c3, h3 = g3(w), g3(sw), g3(hval), g3(hit)
     hi = h3.astype(jnp.int32)
     cnt = jnp.sum(hi, axis=1)  # [n_blocks, 128]
     ranks = jnp.cumsum(hi, axis=1)
@@ -407,7 +516,7 @@ def _fused_extract_xla(
     jax.jit,
     static_argnames=(
         "salts", "log2_rows", "pack", "q", "spc", "mpr", "block_r",
-        "n_grid", "interpret", "force_pallas",
+        "n_grid", "l16", "prefix_on", "interpret", "force_pallas",
     ),
 )
 def fused_sampled_extract(
@@ -423,15 +532,19 @@ def fused_sampled_extract(
     mpr: int,  # slots per block column (multiple of 8)
     block_r: int,
     n_grid: int,  # valid cells (B * M); the rest is padding
+    l16: int = 0,  # prefix-hash window bytes (min(min_long, 16))
+    prefix_on: bool = False,
     interpret: bool = False,
     force_pallas: bool = False,
 ):
     """Fused codes+probe+rank-extract dispatch.  Returns ``(r_s, w_s,
-    swo_s, c_s, cnt)`` with slot arrays ``[n_blocks * mpr, 128]`` (block
+    swo_s, h_s, cnt)`` with slot arrays ``[n_blocks * mpr, 128]`` (block
     ``i``'s slots at rows ``[i*mpr, (i+1)*mpr)``; ``r_s`` = row within
     block, -1 when empty) and ``cnt [n_blocks, 128]`` the per-column true
     survivor counts (overflow signal: ``max(cnt) > mpr`` means slots were
-    dropped and the launch must retry with a bigger ``cap_coarse``)."""
+    dropped and the launch must retry with a bigger ``cap_coarse``).
+    ``h_s`` is the slot's selected full-prefix window hash when
+    ``prefix_on`` (see ``_prefix_hash_select``), else its q-gram code."""
     assert mpr % 8 == 0, "slot rows must tile the sublane dim"
     R_pad = phase_g[0].shape[0] - 8
     n_blocks = R_pad // block_r
@@ -443,7 +556,7 @@ def fused_sampled_extract(
     if interpret and not force_pallas:
         return _fused_extract_xla(
             table, phase_g, sw_g, mll, salts, log2_rows, pack, q, spc,
-            mpr, block_r, n_blocks, n_grid, gram_weights,
+            mpr, block_r, n_blocks, n_grid, l16, prefix_on, gram_weights,
         )
     try:
         vma = jax.typeof(phase_g[0]).vma
@@ -473,6 +586,18 @@ def fused_sampled_extract(
         for _ in range(spc)
     ]
     args = [table, *phase_g, *phase_g]
+    if prefix_on:
+        # previous block's last rows per phase (block 0 clamps to its
+        # own first rows; the kernel zero-masks that case)
+        in_specs += [
+            pl.BlockSpec(
+                (8, 128),
+                lambda i, nb8=nb8: (jnp.maximum(i * nb8 - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(spc)
+        ]
+        args += list(phase_g)
     if has_shorts:
         in_specs.append(
             pl.BlockSpec((block_r, 128), lambda i: (i, 0),
@@ -488,7 +613,8 @@ def fused_sampled_extract(
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, salts, log2_rows, n_banks, pack, q, spc, mpr,
-            block_r, n_grid, gram_weights, has_shorts, interpret,
+            block_r, n_grid, l16, prefix_on, gram_weights, has_shorts,
+            interpret,
         ),
         grid=(n_blocks,),
         in_specs=in_specs,
@@ -504,6 +630,14 @@ def fused_sampled_extract(
             sds((n_blocks * mpr, 128)),
             sds((n_blocks * 8, 128)),
         ],
+        # the block-1024 working set (double-buffered phases + planes +
+        # per-salt hash intermediates) sits right at the default 16M
+        # scoped-vmem cap; headroom to 24M keeps block_r=1024, whose
+        # per-bank addressing amortization is worth ~2.5x vs 256-row
+        # blocks (benchmarks/probe_blockr.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*args)
     r_s, w_s, swo_s, c_s, cnt8 = out

@@ -510,7 +510,8 @@ def _sharded_call_sampled_verified(
     static_argnames=(
         "mesh", "n_classes", "q", "stride", "log2_rows", "salts",
         "log2_words", "fine_salts", "shorts", "win_len", "cap_hits",
-        "cap_flagged", "cap_coarse", "verify_kv", "vmem_pack", "interpret",
+        "cap_flagged", "cap_coarse", "verify_kv", "vmem_pack",
+        "prefix_salts", "prefix_log2", "prefix_len", "interpret",
         "collect",
     ),
 )
@@ -525,6 +526,7 @@ def _sharded_call_sampled_verified_vmem(
     min_long_len,
     final_start,
     verify_ktable,
+    prefix_words,
     *,
     mesh: Mesh,
     n_classes: int,
@@ -541,7 +543,10 @@ def _sharded_call_sampled_verified_vmem(
     cap_coarse: int,
     verify_kv: int,
     vmem_pack: int,
-    interpret: bool,
+    prefix_salts=(),
+    prefix_log2: int = 0,
+    prefix_len: int = 0,
+    interpret: bool = False,
     collect: bool = False,
 ):
     """Two-stage VMEM-bloom edition of the chained shard pass: the coarse
@@ -560,12 +565,15 @@ def _sharded_call_sampled_verified_vmem(
     data, rep = P(DATA_AXIS), P()
     buf_spec = rep if collect else data
 
-    def local_fn(vt, w, tf, bc, ub, ch, ln, mll, fs, vkt):
+    def local_fn(vt, w, tf, bc, ub, ch, ln, mll, fs, vkt, pw):
         idx, _lw, _sw, n, nc = filter_hits_sampled_vmem(
             vt, w, ch, ln, mll,
             q=q, stride=stride, log2_rows=log2_rows, salts=salts,
             pack=vmem_pack, log2_words=log2_words, fine_salts=fine_salts,
             shorts=shorts, capacity=cap_hits, cap_coarse=cap_coarse,
+            prefix_words=pw if prefix_salts else None,
+            prefix_salts=prefix_salts, prefix_log2=prefix_log2,
+            prefix_len=prefix_len,
             interpret=interpret,
         )
         if verify_kv > 1:
@@ -599,12 +607,12 @@ def _sharded_call_sampled_verified_vmem(
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, data, data, rep, rep, rep),
+        in_specs=(rep, rep, rep, rep, rep, data, data, rep, rep, rep, rep),
         out_specs=(buf_spec, rep, rep, rep, rep),
     )
     return fn(
         vmem_table, words, table_flat, byte_class, used_bytes, chunks,
-        lengths, min_long_len, final_start, verify_ktable,
+        lengths, min_long_len, final_start, verify_ktable, prefix_words,
     )
 
 
@@ -639,6 +647,7 @@ def sharded_sampled_verified(
             if kv > 1
             else _jnp.zeros((1,), _jnp.int32)
         )
+        pw = dev.get("prefix_words")
         return _sharded_call_sampled_verified_vmem(
             dev["vmem_table"],
             dev["sampled_words"],
@@ -650,6 +659,7 @@ def sharded_sampled_verified(
             dev["min_long_len"],
             dd["final_start"],
             vkt,
+            pw if pw is not None else _jnp.zeros((1,), _jnp.int32),
             mesh=mesh,
             n_classes=cascade_model.auto.n_classes,
             q=plan.q,
@@ -665,6 +675,9 @@ def sharded_sampled_verified(
             cap_coarse=cascade_model._cap_coarse,
             verify_kv=kv,
             vmem_pack=plan.vmem_pack,
+            prefix_salts=plan.prefix_salts if pw is not None else (),
+            prefix_log2=plan.prefix_log2,
+            prefix_len=plan.prefix_len,
             interpret=_jax.default_backend() != "tpu",
             collect=collect,
         )

@@ -584,13 +584,17 @@ def test_vmem_bloom_word_matches_host():
         np.testing.assert_array_equal(got4, acc8.astype(np.int32))
 
 
-@pytest.mark.parametrize("pack,has_shorts", [(1, False), (4, True)])
-def test_fused_sampled_extract_kernel_parity(pack, has_shorts):
+@pytest.mark.parametrize(
+    "pack,has_shorts,prefix_on",
+    [(1, False, False), (4, True, False), (4, False, True)],
+)
+def test_fused_sampled_extract_kernel_parity(pack, has_shorts, prefix_on):
     """Round-4 fused kernel vs its XLA mirror, bit-for-bit: in-kernel
-    plane shifts (cross-block rolls), gram-code assembly, bank probe,
-    per-column rank extraction, and the per-column counts must agree
-    between the Mosaic kernel body (pallas interpreter) and
-    _fused_extract_xla over a 2-block grid."""
+    plane shifts (cross-block rolls, incl. the backward shifts of the
+    prefix-hash window), gram-code assembly, bank probe, rolling
+    prefix-hash select, per-column rank extraction, and the per-column
+    counts must agree between the Mosaic kernel body (pallas
+    interpreter) and _fused_extract_xla over a 2-block grid."""
     import jax.numpy as jnp
     from php_aho_corasick_tpu.ops.filter_jax import FUSED_BLOCK_R
     from php_aho_corasick_tpu.ops.filter_pallas import (
@@ -629,6 +633,7 @@ def test_fused_sampled_extract_kernel_parity(pack, has_shorts):
     kw = dict(
         salts=salts, log2_rows=log2_rows, pack=pack, q=q, spc=spc,
         mpr=16, block_r=FUSED_BLOCK_R, n_grid=n_grid, interpret=True,
+        l16=16 if prefix_on else 0, prefix_on=prefix_on,
     )
     got_k = fused_sampled_extract(
         table, phase_g, sw_g, mll, force_pallas=True, **kw
