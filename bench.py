@@ -86,10 +86,7 @@ def main() -> None:
             return
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
-
     from php_aho_corasick_tpu import Matcher, ScanConfig
-    from php_aho_corasick_tpu.ops.matches import pack_documents
 
     rng = random.Random(1337)
     alphabet = b"abcdef"
@@ -121,105 +118,35 @@ def main() -> None:
     ), "planted needle not found"
 
     auto = m.automaton
-    halo = auto.max_len - 1
-    packed = pack_documents(docs, cfg.chunk_len, halo)
-    chunks = jnp.asarray(packed.chunks)
-    lengths = jnp.asarray(packed.lengths)
-    emit_from = jnp.asarray(packed.emit_from)
 
     # headline engine: sampled cascade with on-device window verification
-    # (auto-selected for this workload; see _pick_engine + PERF_NOTES.md)
+    # + device match-record emission (auto-selected for this workload;
+    # see _pick_engine + PERF_NOTES.md)
     engine = m._pick_engine(total_bytes)
     cm = m.cascade_model
     use_cascade = engine == "cascade" and cm is not None
 
-    if use_cascade:
-        def launch():
-            it = cm.run(
-                packed, cfg.match_capacity,
-                dev_inputs=(chunks, lengths, emit_from),
-            )
-            return sum(1 for _ in it)  # match iteration forces completion
-    elif engine == "kgram":
-        km = m.kgram_model
-        km.ktable_host
-
-        def launch():
-            cells, prevs, n, carry = km.scan_compact_device(
-                chunks, lengths, emit_from, None, cfg.match_capacity
-            )
-            return int(n)  # host fetch forces completion (axon: never
-            # trust block_until_ready)
-    else:  # dense dfa (whatever auto actually resolved to)
-        def launch():
-            idx, sts, n, carry = m.model.scan_compact_device(
-                chunks, lengths, emit_from, None, cfg.match_capacity
-            )
-            return int(n)
-
-    pass_matches = launch()  # warm up / compile (+ capacity learning)
-    launch()
+    # PUBLIC steady-state path (VERDICT r3 #3): one DeviceCorpus upload,
+    # then pipelined re-scans through match_arrays_many — the official
+    # headline is a public-API number, not a private fast path.
+    handle = m.device_corpus(docs)
+    res = m.match_arrays(handle)  # warm compile + settle capacities
+    m.match_arrays(handle)
+    pass_matches = int(res["doc"].shape[0])
     reps = 5
-    dt = None
-    if use_cascade and cm.plan.mode == "sampled" and cm.device_verify_ok:
-        # Steady-state pipelined timing: capacities were learned during
-        # warmup; issue all rep chains back-to-back with NO host fetch in
-        # between and pull every occupancy scalar in ONE trailing fetch —
-        # the ~25 ms tunnel round trip is paid once per batch instead of
-        # once per launch.  Overflowing a capacity invalidates the batch;
-        # retry with that capacity doubled (matches never truncate).
-        cap_a, cap_b = cm.learned_caps
+    caps_before = (cm._cap_hits, cm._cap_flagged) if use_cascade else None
 
-        def timed_batch(cap_a, cap_b):
-            """One pipelined batch: reps chains back-to-back, ONE trailing
-            scalar fetch.  Returns (per-pass seconds, ns, nfs, ncs)."""
-            t0 = time.time()
-            scalars = []
-            cells_last = None
-            for _ in range(reps):
-                cells_last, n_d, nf_d, nc_d = cm.launch_device(
-                    chunks, lengths, cap_a, cap_b
-                )
-                scalars.extend((n_d, nf_d, nc_d))
-            flat = np.asarray(jnp.stack(scalars))  # single sync fetch
-            ns, nfs, ncs = flat[0::3], flat[1::3], flat[2::3]
-            if nfs.max() > 0:
-                # matched workloads must pay the per-batch cells fetch the
-                # non-pipelined path pays too (methodology parity; in the
-                # match-free case only the two scalars leave the device)
-                np.asarray(cells_last)
-            return (time.time() - t0) / reps, ns, nfs, ncs
+    def timed_batch():
+        t0 = time.time()
+        m.match_arrays_many([handle] * reps)
+        return (time.time() - t0) / reps
 
-        for _attempt in range(6):
-            # warm-up batch with the EXACT timed structure: the trailing
-            # 3*reps-scalar stack graph compiles on its first run, which
-            # measured +40 ms/pass on the first batch (probe_benchloop.py)
-            _wdt, ns, nfs, ncs = timed_batch(cap_a, cap_b)
-            ok = (
-                ns.max() <= cap_a
-                and nfs.max() <= cap_b
-                and ncs.max() <= cm._cap_coarse
-            )
-            if ok:
-                batch_dt, ns, nfs, ncs = timed_batch(cap_a, cap_b)
-            if ok and (
-                ns.max() <= cap_a
-                and nfs.max() <= cap_b
-                and ncs.max() <= cm._cap_coarse
-            ):
-                dt = batch_dt
-                break
-            cap_a = max(cap_a, 2 * int(ns.max()))
-            cap_b = max(cap_b, 2 * int(nfs.max()))
-            cm._cap_coarse = min(128, max(cm._cap_coarse, 2 * int(ncs.max())))
-    if dt is None:
-        times = []
-        for _ in range(reps):
-            t0 = time.time()
-            pass_matches = launch()
-            times.append(time.time() - t0)
-        # median: the tunneled grant shows +-40% per-launch latency noise
-        dt = sorted(times)[reps // 2]
+    timed_batch()  # warm the exact batch structure (trailing-stack graph)
+    batch_times = sorted(timed_batch() for _ in range(3))
+    dt = batch_times[1]
+    caps_moved = (
+        use_cascade and (cm._cap_hits, cm._cap_flagged) != caps_before
+    )
     gbps = total_bytes / dt / 1e9
 
     # end-to-end through the public API (includes host packing and the
@@ -230,83 +157,63 @@ def main() -> None:
     e2e_dt = time.time() - t0
     e2e_gbps = total_bytes / e2e_dt / 1e9
 
-    # --- match-density axis (VERDICT r1 #4): the zero-match headline is
-    # the filter fast path; these rows time the FULL pipeline (device
-    # chain + flagged-cell fetch + vectorized host emission) on corpora
-    # with planted needles at d matches/byte.  Measured on a 16 MiB slice
-    # (same per-byte pipeline; keeps the extra XLA shape compiles and the
-    # plant loop off the bench's critical path) with capacities pre-seeded
-    # from the known density so no doubling-ladder recompiles happen.
+    # --- match-density axis (VERDICT r1 #4 / r3 #6): rows time the FULL
+    # public pipeline (device chain + record fetch + vectorized host
+    # emission via match_arrays_many) on corpora with planted needles at
+    # d matches/byte, for WHATEVER engine auto-selection resolved — not
+    # only the cascade.  Capacities are pre-seeded from the known density
+    # so no doubling-ladder recompiles land inside the timed reps.
     density_rows = {}
-    if use_cascade:
-        dens_docs = base_docs * 32  # 64 MiB: big enough that the ~25 ms
-        # per-iteration relay round trip (scalar fetch) amortizes
-        dens_bytes = sum(map(len, dens_docs))
-        for dens in (1e-5, 1e-3):
-            n_plant = int(dens * dens_bytes)
-            prng = random.Random(int(dens * 1e9))
-            planted_docs = [bytearray(d) for d in dens_docs]
-            for _ in range(n_plant):
-                di = prng.randrange(len(planted_docs))
-                off = prng.randrange(8192 - 16)
-                nd = needles[prng.randrange(len(needles))]
-                planted_docs[di][off : off + 16] = nd
-            pk = pack_documents(
-                [bytes(d) for d in planted_docs], cfg.chunk_len, halo
-            )
-            dv = (
-                jnp.asarray(pk.chunks),
-                jnp.asarray(pk.lengths),
-                jnp.asarray(pk.emit_from),
-            )
+    dens_docs = base_docs * 32  # 64 MiB: big enough that the ~25 ms
+    # per-iteration relay round trip (scalar fetch) amortizes
+    dens_bytes = sum(map(len, dens_docs))
+    for dens in (1e-5, 1e-3):
+        n_plant = int(dens * dens_bytes)
+        prng = random.Random(int(dens * 1e9))
+        planted_docs = [bytearray(d) for d in dens_docs]
+        for _ in range(n_plant):
+            di = prng.randrange(len(planted_docs))
+            off = prng.randrange(8192 - 16)
+            nd = needles[prng.randrange(len(needles))]
+            planted_docs[di][off : off + 16] = nd
+        if use_cascade:
             cm.seed_caps(2 * n_plant, 2 * n_plant)
-            # warm up (compile for this corpus/capacity shape + settle caps)
-            docs_a, _, _ = cm.run_arrays(pk, cfg.match_capacity, dev_inputs=dv)
-            docs_a, _, _ = cm.run_arrays(pk, cfg.match_capacity, dev_inputs=dv)
-            # double-buffered steady state: dispatch launch i+1 BEFORE the
-            # host fetches/expands launch i's flagged cells, so host
-            # emission overlaps device compute (VERDICT r2 #6)
-            dch, dln = dv[0], dv[1]
-            ca, cb = cm.learned_caps
-            dreps = 4
-            # full warm iteration: compiles the chain AND the nf-sized
-            # slice fetch (nf is data-deterministic, so the timed reps hit
-            # the same executable)
-            cells_d, n_d, nf_d, nc_d = cm.launch_device(dch, dln, ca, cb)
-            _nf = int(np.asarray(nf_d))
-            cm.emit_windows_arrays(
-                pk, np.asarray(cells_d[: max(_nf, 1)]), _nf
-            )
-            out = cm.launch_device(dch, dln, ca, cb)
+        hd = m.device_corpus([bytes(d) for d in planted_docs])
+        res_d = m.match_arrays(hd)  # warm + settle caps
+        m.match_arrays(hd)
+        dreps = 4
+        m.match_arrays_many([hd] * dreps)  # warm the batch structure
+        dtimes = []
+        for _ in range(3):
             t0 = time.time()
-            ok = True
-            for _ in range(dreps):
-                nxt = cm.launch_device(dch, dln, ca, cb)
-                cells_d, n_d, nf_d, nc_d = out
-                n, nf, nc = map(int, np.asarray(jnp.stack([n_d, nf_d, nc_d])))
-                ok &= n <= ca and nf <= cb and nc <= cm._cap_coarse
-                # fetch only the occupied prefix: the full capacity buffer
-                # would cross the ~33 MB/s relay
-                cells_np = np.asarray(cells_d[: max(nf, 1)])
-                docs_a, ends_a, pids_a = cm.emit_windows_arrays(
-                    pk, cells_np, nf
-                )
-                out = nxt
-            ddt = (time.time() - t0) / dreps
-            np.asarray(jnp.stack(out[1:]))  # drain the extra launch
-            if not ok:  # a capacity moved mid-batch: fall back to the
-                # non-pipelined exact path for this row
-                t0 = time.time()
-                docs_a, ends_a, pids_a = cm.run_arrays(
-                    pk, cfg.match_capacity, dev_inputs=dv
-                )
-                ddt = time.time() - t0
-            density_rows[f"{dens:g}"] = {
-                "gbps": round(dens_bytes / ddt / 1e9, 4),
-                "pass_ms": round(ddt * 1e3, 2),
-                "matches": int(docs_a.shape[0]),
-                "corpus_mib": round(dens_bytes / 2**20, 1),
-            }
+            m.match_arrays_many([hd] * dreps)
+            dtimes.append((time.time() - t0) / dreps)
+        dtimes.sort()
+        density_rows[f"{dens:g}"] = {
+            "gbps": round(dens_bytes / dtimes[1] / 1e9, 4),
+            "gbps_spread": [
+                round(dens_bytes / t / 1e9, 4) for t in reversed(dtimes)
+            ],
+            "pass_ms": round(dtimes[1] * 1e3, 2),
+            "matches": int(res_d["doc"].shape[0]),
+            "corpus_mib": round(dens_bytes / 2**20, 1),
+        }
+        del hd
+
+    # signature-scale context (VERDICT r3 #6): embed the most recent
+    # bench_signatures.py artifact so the round JSON is self-describing
+    # (the 1M-needle build takes ~minutes and runs out-of-band)
+    sig = None
+    sig_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "signature_last.json",
+    )
+    if os.path.exists(sig_path):
+        try:
+            with open(sig_path) as f:
+                sig = json.load(f)
+        except Exception:
+            sig = None
 
     record = {
         "metric": "scan_throughput_2048x16_needles",
@@ -316,6 +223,11 @@ def main() -> None:
         "detail": {
             "corpus_mib": round(total_bytes / 2**20, 1),
             "pass_ms": round(dt * 1e3, 2),
+            "pass_ms_spread": [
+                round(t * 1e3, 2) for t in batch_times
+            ],
+            "public_api": "device_corpus + match_arrays_many",
+            "caps_moved_during_timing": bool(caps_moved),
             "e2e_gbps_via_relay": round(e2e_gbps, 4),
             "build_s": round(build_s, 3),
             "engine": (
@@ -328,6 +240,7 @@ def main() -> None:
             "states": auto.n_states,
             "matches": pass_matches,
             "match_density_gbps": density_rows,
+            "signature_scale": sig,
             "device": str(jax.devices()[0])
             + ("" if tpu_ok else " (TPU wedged; CPU fallback)"),
         },

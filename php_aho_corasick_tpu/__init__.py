@@ -14,7 +14,7 @@ search-and-replace — built TPU-first on JAX/XLA/Pallas:
 * a C++ native builder for million-pattern (signature-scale) automata.
 """
 
-from .api import Matcher, StateError
+from .api import DeviceCorpus, Matcher, StateError
 from .compat import (
     ahocorasick_add_patterns,
     ahocorasick_deinit,
@@ -32,6 +32,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Matcher",
+    "DeviceCorpus",
     "ScanConfig",
     "DEFAULT_CONFIG",
     "CompiledAutomaton",

@@ -33,6 +33,19 @@ from ..ops.matches import PackedRows
 from ..utils import next_pow2 as _next_pow2
 
 
+def _next_cap(n: int) -> int:
+    """Smallest of ``{2**k, 3 * 2**(k-1)}`` >= n: capacity sizing at 1.5x
+    granularity.  Device verify/compaction cost is capacity-proportional,
+    so pure pow2 rounding wastes up to 2x work right after a threshold
+    (66k matches -> 131072 slots); the extra granularity costs at most
+    one more compile per workload scale (persistent-cached)."""
+    n = max(int(n), 1)
+    p = 1
+    while p < n:
+        p *= 2
+    return p if n > 3 * p // 4 else 3 * p // 4
+
+
 @dataclasses.dataclass
 class CascadePlan:
     eligible: bool
@@ -502,9 +515,9 @@ class CascadeModel:
         known planted-match density) so the first launch on a new corpus
         doesn't walk the doubling ladder — each distinct capacity is a new
         XLA compile shape (~20-40 s on TPU)."""
-        self._cap_hits = max(self._cap_hits, _next_pow2(max(n_hits_est, 1)))
+        self._cap_hits = max(self._cap_hits, _next_cap(max(n_hits_est, 1)))
         self._cap_flagged = max(
-            self._cap_flagged, _next_pow2(max(n_flagged_est, 1))
+            self._cap_flagged, _next_cap(max(n_flagged_est, 1))
         )
 
     @property
@@ -513,6 +526,20 @@ class CascadeModel:
         owned by one grid cell (long starts in ``[p-stride+1, p]``, short
         starts in ``[p, p+stride)``)."""
         return self.plan.stride - 1 + self.auto.max_len
+
+    @property
+    def records_ok(self) -> bool:
+        """Gate for the device match-record emission path
+        (ops/filter_jax.verify_windows_records): needs the dense table
+        (compressed sets walk via the compressed verifier), a reserved
+        sentinel ``j`` (win_len <= 31), and states packable next to a
+        5-bit position (states < 2**26)."""
+        return (
+            self.device_verify_ok
+            and not self._compressed
+            and self.win_len <= 31
+            and self.auto.n_states < (1 << 26)
+        )
 
     @property
     def device_verify_ok(self) -> bool:
@@ -727,12 +754,12 @@ class CascadeModel:
             if n <= cap_a and nf <= cap_b and nc <= self._cap_coarse:
                 break
             if n > cap_a:
-                cap_a = _next_pow2(n)
+                cap_a = _next_cap(n)
             if nf > cap_b:
-                cap_b = _next_pow2(nf)
+                cap_b = _next_cap(nf)
             if nc > self._cap_coarse:
                 self._grow_cap_coarse(nc)
-        self._cap_hits = max(256, _next_pow2(n + n // 4))
+        self._cap_hits = max(256, _next_cap(n + n // 4))
         self._cap_flagged = cap_b
         self._decay_cap_coarse(nc)
         return cells, nf
@@ -830,6 +857,121 @@ class CascadeModel:
             )
         return cells, n_d, nf_d, nc_d
 
+    def launch_device_records(
+        self, chunks_d, lengths_d, emit_from_d, cap_a, cap_r
+    ):
+        """Speculative filter→record-verify chain: like
+        :meth:`launch_device` but the verify stage emits compacted
+        per-match ``(cell, state*32+j)`` records instead of flagged
+        windows (ops/filter_jax.verify_windows_records) — the host then
+        expands records instead of re-walking windows, so host + relay
+        cost scales with the match count.  Returns ``(rec_cell,
+        rec_pack, n_d, nr_d, nc_d)`` device values (no host fetch)."""
+        from ..ops.filter_jax import verify_windows_records
+
+        dd = self.dense_model.device_arrays
+        dev = self.device_arrays
+        idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
+            chunks_d, lengths_d, cap_a
+        )
+        rec_cell, rec_pack, nr_d = verify_windows_records(
+            dd["table_flat"],
+            dev["byte_class"],
+            dev["used_bytes"],
+            chunks_d,
+            lengths_d,
+            emit_from_d,
+            idx,
+            dd["final_start"],
+            n_classes=self.auto.n_classes,
+            stride=self.plan.stride,
+            win_len=self.win_len,
+            capacity=cap_r,
+            n_hits=cap_a,
+        )
+        return rec_cell, rec_pack, n_d, nr_d, nc_d
+
+    def emit_records_arrays(
+        self,
+        packed: PackedRows,
+        rec_cell: np.ndarray,
+        rec_pack: np.ndarray,
+        n_rec: int,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Expand device match records into ``(docs, end_pos, pids)``
+        arrays in reference emission order — vectorized csr expansion +
+        the per-pattern ownership rule; no window re-walk.  Windows that
+        overflowed their record slots arrive as sentinel records and are
+        re-walked exactly via :meth:`emit_windows_arrays` (their normal
+        records are discarded to avoid double emission)."""
+        from ..ops.filter_jax import REC_OVERFLOW_J
+        from ..ops.matches import csr_expand
+
+        z = np.zeros(0, np.int64)
+        if n_rec == 0:
+            return z, z, z
+        auto = self.auto
+        s = self.plan.stride
+        L = packed.row_len
+        M = -(-L // s)
+        cell = rec_cell[:n_rec].astype(np.int64)
+        pack = rec_pack[:n_rec].astype(np.int64)
+        j = pack & 31
+        sentinel = j == REC_OVERFLOW_J
+        parts: List[np.ndarray] = []
+        if sentinel.any():
+            over_cells = np.unique(cell[sentinel])
+            keep_n = ~np.isin(cell, over_cells)
+            docs_o, ends_o, pids_o = self.emit_windows_arrays(
+                packed, over_cells, over_cells.shape[0]
+            )
+            cell, pack, j = cell[keep_n], pack[keep_n], j[keep_n]
+        else:
+            docs_o = None
+        if cell.shape[0]:
+            state = pack >> 5
+            b = cell // M
+            m = cell % M
+            e = m * s - (s - 1) + j  # end-1 byte index within the row
+            rec_of, pids = csr_expand(auto, state)
+            src_b = b[rec_of]
+            src_e = e[rec_of]
+            src_m = m[rec_of]
+            ln = auto.pat_lens[pids].astype(np.int64)
+            t = src_e + 1 - ln
+            short_limit = self.config.cascade_min_q
+            owner = np.where(ln >= short_limit, -(-t // s), t // s)
+            keep = owner == src_m
+            if keep.any():
+                parts.append(
+                    np.stack(
+                        [src_b[keep], src_e[keep] + 1, t[keep], pids[keep]]
+                    )
+                )
+        if not parts:
+            if docs_o is not None:
+                return docs_o, ends_o, pids_o
+            return z, z, z
+        arr = np.concatenate(parts, axis=1)
+        order = np.lexsort((arr[2], arr[1], arr[0]))
+        docs = packed.doc_id[arr[0, order]].astype(np.int64)
+        ends = packed.global_off[arr[0, order]] + arr[1, order]
+        pids_n = arr[3, order]
+        if docs_o is not None and docs_o.shape[0]:
+            # merge the (rare) overflow emissions by (doc, end, start)
+            starts_n = ends - auto.pat_lens[pids_n]
+            starts_o = ends_o - auto.pat_lens[pids_o]
+            allc = np.concatenate
+            docs, ends, pids_all, starts = (
+                allc([docs, docs_o]),
+                allc([ends, ends_o]),
+                allc([pids_n, pids_o]),
+                allc([starts_n, starts_o]),
+            )
+            o2 = np.lexsort((starts, ends, docs))
+            return docs[o2], ends[o2], pids_all[o2]
+        return docs, ends, pids_n
+
     def run_arrays(self, packed: PackedRows, capacity: int, dev_inputs=None):
         """Full cascade on one device: filter (+ device window verify when
         available); returns ``(docs, end_pos, pids)`` arrays in reference
@@ -842,11 +984,32 @@ class CascadeModel:
             import jax.numpy as jnp
 
             if dev_inputs is not None:
-                chunks_d, lengths_d, _ = dev_inputs
+                chunks_d, lengths_d, emit_from_d = dev_inputs
             else:
                 # one host->device upload, shared by every retry + phase B
                 chunks_d = jnp.asarray(packed.chunks)
                 lengths_d = jnp.asarray(packed.lengths)
+                emit_from_d = None
+            if self.records_ok:
+                if emit_from_d is None:
+                    emit_from_d = jnp.asarray(packed.emit_from)
+
+                def launch_r(cap_a, cap_r):
+                    rc, rp, n_d, nr_d, nc_d = self.launch_device_records(
+                        chunks_d, lengths_d, emit_from_d, cap_a, cap_r
+                    )
+                    n, nr, nc = map(
+                        int, np.asarray(jnp.stack([n_d, nr_d, nc_d]))
+                    )
+                    return (rc, rp), n, nr, nc
+
+                (rc, rp), nr = self.adaptive_chain(launch_r)
+                if nr == 0:
+                    z = np.zeros(0, np.int64)
+                    return z, z, z
+                return self.emit_records_arrays(
+                    packed, np.asarray(rc[:nr]), np.asarray(rp[:nr]), nr
+                )
 
             def launch(cap_a, cap_b):
                 cells, n_d, nf_d, nc_d = self.launch_device(
@@ -968,7 +1131,7 @@ class CascadeModel:
                 if n <= capacity and nc <= self._cap_coarse:
                     break
                 if n > capacity:
-                    capacity = _next_pow2(n)
+                    capacity = _next_cap(n)
                 if nc > self._cap_coarse:
                     self._grow_cap_coarse(nc)
             self._decay_cap_coarse(nc)
@@ -983,7 +1146,7 @@ class CascadeModel:
             n = int(n)
             if n <= capacity:
                 break
-            capacity = _next_pow2(n)
+            capacity = _next_cap(n)
         return np.asarray(idx), n
 
     def scan_candidates(self, chunks, lengths, emit_from, capacity: int):

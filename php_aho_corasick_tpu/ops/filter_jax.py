@@ -479,7 +479,11 @@ def filter_hits_sampled_vmem(
     idx = jnp.where(valid, jnp.take(cell_s.reshape(-1), safe), INT32_MAX)
     lw = jnp.where(valid, jnp.take(w_s.reshape(-1), safe), 0)
     swo = jnp.where(valid, jnp.take(swo_s.reshape(-1), safe), 0)
-    idx, lw, swo = jax.lax.sort((idx, lw, swo), num_keys=1)
+    # slot order (block-major), NOT cell-ascending: no consumer needs the
+    # device sort — window verify treats slots independently, and the
+    # host paths (expand_hits -> np.unique, record emission -> lexsort)
+    # re-order anyway.  The capacity-sized 3-operand sort cost ~8 ms at
+    # the 1e-3 density caps (lax.sort measures ~57 ms / 1M elements).
     return idx, lw, swo, n_final, jnp.max(cnt)
 
 
@@ -722,6 +726,142 @@ def verify_windows(
         slot < INT32_MAX, jnp.take(grid_idx, safe), INT32_MAX
     )
     return win_cell, n_flagged
+
+
+#: record slots per verified window; windows with more final positions
+#: emit a sentinel record and are re-walked exactly on the host
+VERIFY_KR = 4
+#: sentinel ``j`` value marking a window whose record slots overflowed
+#: (the path is gated to ``win_len <= 31`` so no real record uses it)
+REC_OVERFLOW_J = 31
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_classes", "stride", "win_len", "capacity", "n_hits",
+    ),
+)
+def verify_windows_records(
+    table_flat: jax.Array,  # [S*C] int16/int32 dense transition table
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8, L % 4 == 0 (ROW_ALIGN)
+    lengths: jax.Array,  # [B] int32
+    emit_from: jax.Array,  # [B] int32
+    grid_idx: jax.Array,  # [>=n_hits] int32 b*M+m hits, INT32_MAX-padded
+    final_start: jax.Array,  # scalar int32
+    n_classes: int,
+    stride: int,
+    win_len: int,  # <= 31 (REC_OVERFLOW_J is reserved)
+    capacity: int,
+    n_hits: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Device verification with *match-record* emission (VERDICT r3 #2):
+    instead of flagged window cells that the host must re-walk, ships
+    compacted ``(cell, state*32 + j)`` records — one per final position
+    of each verified window — so host work (and the host<->device fetch)
+    is proportional to the MATCH count, not to windows x win_len.  The
+    dense regime's previous chain fetched flagged cells and re-walked
+    every window in numpy (73 ms of the 204 ms 1e-3 density pass).
+
+    Each window accumulates up to ``VERIFY_KR`` records during the
+    unrolled 1-gram walk; a window with more final positions emits one
+    sentinel record (``j == REC_OVERFLOW_J``) and the host re-walks it
+    exactly (``CascadeModel.emit_records_arrays``), so output is never
+    truncated silently.  Device-side gating applies the row emission
+    window (``emit_from``/``length``); the per-pattern ownership rule
+    (which needs pattern lengths) stays on the host over the expanded
+    records.
+
+    Returns ``(rec_cell [cap], rec_pack [cap], n_rec)`` in slot order
+    (host lexsorts after expansion); retry doubled when ``n_rec >
+    capacity``.  Requires ``states < 2**26`` (26 + 5 bits packed) and
+    ``win_len <= 31`` — callers gate via ``CascadeModel.records_ok``."""
+    B, L = chunks.shape
+    M = -(-L // stride)
+    H = min(n_hits, grid_idx.shape[0])
+    grid_idx = grid_idx[:H]
+    W = win_len
+    active = grid_idx < INT32_MAX
+    g = jnp.where(active, grid_idx, 0)
+    b = g // M
+    w0 = (g % M) * stride - (stride - 1)
+    base = b * L + w0
+    row_len = lengths[b]
+    row_emit = emit_from[b]
+
+    if n_classes <= 255 and H * W * 32 >= B * L:
+        # packed-class fetch: one corpus-wide classify+pack pass, W/4+2
+        # word gathers per window (see verify_windows) — worth its corpus
+        # pass once it saves more window gathers (~0.7*H*W) than the
+        # pass's ~corpus/32 gather-equivalents
+        cls_all = _classes(chunks, byte_class, used_bytes).astype(jnp.uint32)
+        cw = None
+        for k in range(4):
+            part = cls_all[:, k::4] << jnp.uint32(8 * k)
+            cw = part if cw is None else (cw | part)
+        cw_flat = cw.reshape(-1)
+        nw = cw_flat.shape[0]
+        wbase = base >> 2
+        off = base & 3
+        n_words = W // 4 + 2
+        wv = [
+            jnp.take(cw_flat, jnp.clip(wbase + i, 0, nw - 1))
+            for i in range(n_words)
+        ]
+        cols = []
+        for j in range(W):
+            lo, rem = divmod(j, 4)
+            carry = off + rem >= 4
+            word = jnp.where(carry, wv[lo + 1], wv[lo])
+            shift = ((off + rem) & 3) * 8
+            cols.append(
+                ((word >> shift) & jnp.uint32(0xFF)).astype(jnp.int32)
+            )
+    else:
+        # byte gathers proportional to the hit count (H*W), skipping the
+        # corpus-wide class pack — the right trade at small H (the
+        # common case once the prefix refinement prunes strays)
+        j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+        bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
+        byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
+        cls2d = _classes(byte.astype(jnp.uint8), byte_class, used_bytes)
+        cols = [cls2d[:, j] for j in range(W)]
+
+    state = jnp.zeros((H,), jnp.int32)
+    cnt = jnp.zeros((H,), jnp.int32)
+    slots = [jnp.zeros((H,), jnp.int32) for _ in range(VERIFY_KR)]
+    for j in range(W):
+        pos_j = w0 + j
+        valid_j = (pos_j >= 0) & (pos_j < row_len) & active
+        cls_j = jnp.where(valid_j, cols[j], 0)
+        state = jnp.take(table_flat, state * n_classes + cls_j).astype(
+            jnp.int32
+        )
+        fin = (
+            (state >= final_start)
+            & valid_j
+            & (pos_j >= row_emit)
+        )
+        pack = state * 32 + j
+        for k in range(VERIFY_KR):
+            slots[k] = jnp.where(fin & (cnt == k), pack, slots[k])
+        cnt = cnt + fin.astype(jnp.int32)
+    over = cnt > VERIFY_KR
+    slots.append(jnp.where(over, jnp.int32(REC_OVERFLOW_J), 0))
+    used = [cnt > k for k in range(VERIFY_KR)] + [over]
+
+    alive = jnp.stack(used).reshape(-1)  # [KR+1, H] slot-major
+    slot_idx, n_rec = blocked_nonzero(alive, capacity)
+    tot = (VERIFY_KR + 1) * H
+    safe = jnp.minimum(slot_idx, tot - 1)
+    valid = slot_idx < INT32_MAX
+    pk = jnp.stack(slots).reshape(-1)
+    cells = jnp.take(grid_idx, safe % H)
+    rec_cell = jnp.where(valid, cells, INT32_MAX)
+    rec_pack = jnp.where(valid, jnp.take(pk, safe), 0)
+    return rec_cell, rec_pack, n_rec
 
 
 @functools.partial(

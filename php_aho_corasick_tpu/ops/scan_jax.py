@@ -231,6 +231,14 @@ def blocked_nonzero(flat: jax.Array, capacity: int, blk: int = 8):
     so no block pass overflows first)."""
     n = flat.shape[0]
     n_true = flat.sum(dtype=jnp.int32)
+    if capacity * blk >= n:
+        # dense regime (capacity within blk x of the input): the block
+        # pyramid's capacity*blk second pass would cost MORE than one
+        # direct nonzero over the input (measured 17 ns/element either
+        # way, docs/PERF_NOTES.md) — e.g. the 1e-3 match-density rows,
+        # where capacity ~ n/2
+        (idx,) = jnp.nonzero(flat, size=capacity, fill_value=INT32_MAX)
+        return idx.astype(jnp.int32), n_true
     nb = -(-n // blk)
     flat_p = jnp.concatenate(
         [flat, jnp.zeros(nb * blk - n, jnp.bool_)]

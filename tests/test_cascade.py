@@ -457,6 +457,32 @@ def test_sampled_cascade_sharded_parity():
         )
 
 
+def test_records_overflow_sentinel_rewalk():
+    """> VERIFY_KR final positions in one verified window must overflow
+    to the sentinel record and be re-walked exactly on the host
+    (emit_records_arrays), with no duplicate or lost emissions."""
+    base = b"abcdefghijklm"
+    patterns = [base[i : i + 9] for i in range(5)]  # ends 5 consecutive
+    text = b"zzz..." + base + b"...zzz" + base + b"!!"
+    got = run_cascade(patterns, text, cascade_mode="sampled")
+    assert got == brute_force(patterns, text)
+
+
+def test_records_path_emit_parity_dense():
+    """Dense planted corpus through the records emission path equals
+    brute force (device record decode + ownership on host)."""
+    rng = random.Random(99)
+    patterns = [b"gammagammagamma!", b"deltadeltadelta!"]
+    text = bytearray(rng.choice(b"gadelmt!") for _ in range(30000))
+    for k in range(400):
+        p = patterns[k % 2]
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    got = run_cascade(patterns, text, cascade_mode="sampled")
+    assert got == brute_force(patterns, text)
+
+
 def test_sampled_sharded_take_path_dense_hits_terminates():
     """Regression (ADVICE r3 high): the sharded take path reported its
     hit gstats as the coarse gstats; with > 128 hits in a shard the
