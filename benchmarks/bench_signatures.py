@@ -81,7 +81,7 @@ def main():
 
     import jax.numpy as jnp
 
-    packed = pack_documents(docs, cfg.chunk_len, auto.max_len - 1)
+    packed = pack_documents(docs, m._pack_chunk_len(), auto.max_len - 1)
     ch = jnp.asarray(packed.chunks)
     ln = jnp.asarray(packed.lengths)
     ef = jnp.asarray(packed.emit_from)
@@ -94,8 +94,10 @@ def main():
               f"device_verify={cm.device_verify_ok})")
 
         def launch():
-            return sum(1 for _ in cm.run(packed, 1 << 16,
-                                         dev_inputs=(ch, ln, ef)))
+            docs_a, _, _ = cm.run_arrays(
+                packed, 1 << 16, dev_inputs=(ch, ln, ef)
+            )
+            return int(docs_a.shape[0])
     else:
         print(f"engine: {engine} (dense dfa fallback)")
 
@@ -107,13 +109,38 @@ def main():
 
     n = launch()  # warm
     n = launch()  # adaptive capacities settle
-    times = []
     reps = 3
-    for _ in range(reps):
+    if cm is not None:
+        # pipelined steady state (headline methodology): all chains
+        # dispatched back-to-back, occupancy scalars in ONE trailing
+        # fetch — the per-launch host round trip (~25-50 ms on the
+        # tunneled grant) otherwise lands in every rep
+        import jax.numpy as jnp
+
+        ca, cb = cm.learned_caps
+
+        def batch():
+            accs = []
+            for _ in range(reps):
+                cells, n_d, nf_d, nc_d = cm.launch_device(ch, ln, ca, cb)
+                accs.extend((n_d, nf_d, nc_d))
+            flat = np.asarray(jnp.stack(accs))
+            assert flat[0::3].max() <= ca and flat[2::3].max() <= (
+                cm._cap_coarse
+            )
+            return flat
+
+        batch()  # warm the exact batch structure
         t0 = time.time()
-        n = launch()
-        times.append(time.time() - t0)
-    dt = sorted(times)[reps // 2]
+        batch()
+        dt = (time.time() - t0) / reps
+    else:
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            n = launch()
+            times.append(time.time() - t0)
+        dt = sorted(times)[reps // 2]
     print(
         f"scan: {dt*1e3:.0f} ms for {args.mib} MiB -> "
         f"{n_bytes / dt / 1e9:.3f} GB/s/chip; matches={n} "
@@ -133,6 +160,48 @@ def main():
     launch_dfa()
     ddt = time.time() - t0
     print(f"dfa fallback: {ddt*1e3:.0f} ms -> {n_bytes / ddt / 1e9:.3f} GB/s")
+
+    # snapshot for bench.py's round artifact (VERDICT r3 #6): the round
+    # JSON embeds the latest signature-scale numbers with their own
+    # timestamp so they are self-describing without PERF_NOTES
+    import json
+
+    snap = {
+        "alphabet": args.alphabet,
+        "needles": len(patterns),
+        "needle_len": args.needle_len,
+        "states": int(auto.n_states),
+        "table_mib": round(auto.table_bytes / 2**20, 1),
+        "table_format": m.table_format,
+        "build_s": round(build_s, 1),
+        "corpus_mib": args.mib,
+        "gbps": round(n_bytes / dt / 1e9, 4),
+        "pass_ms": round(dt * 1e3, 1),
+        "matches": int(n),
+        "planted": planted,
+        "dfa_fallback_gbps": round(n_bytes / ddt / 1e9, 4),
+        "engine": cm.plan.reason if cm is not None else engine,
+        "measured_at": time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        ),
+    }
+    out = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "signature_last.json",
+    )
+    merged = {}
+    if _os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+            if "alphabet" in merged:  # pre-round-4 single-config format
+                merged = {merged["alphabet"]: merged}
+        except Exception:
+            merged = {}
+    merged[args.alphabet] = snap
+    with open(out, "w") as f:
+        json.dump(merged, f)
+    print("snapshot ->", out)
 
 
 if __name__ == "__main__":

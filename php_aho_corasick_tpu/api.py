@@ -381,7 +381,7 @@ class Matcher:
             )
         halo = max(self._auto.max_len - 1, 0)
         packed = pack_documents(
-            docs, self.config.chunk_len, halo, self.config.batch_pad
+            docs, self._pack_chunk_len(), halo, self.config.batch_pad
         )
         return DeviceCorpus(
             packed,
@@ -392,6 +392,21 @@ class Matcher:
             total,
             self.config.chunk_len,
         )
+
+    def _pack_chunk_len(self) -> int:
+        """Chunk row length used for packing: the configured ``chunk_len``
+        rounded UP to a multiple of the sampled cascade's stride (when the
+        stride is cell-aligned), so the fused/grouped filter paths' exact
+        per-cell word mapping (``stride % 4 == 0 and stride | L``) holds —
+        e.g. stride-12 signature plans round 4096 -> 4104.  Pure padding:
+        chunking is internal, results are row-length independent."""
+        base = self.config.chunk_len
+        cm = self.cascade_model
+        if cm is not None and cm.plan.mode == "sampled":
+            s = cm.plan.stride
+            if s and s % 4 == 0 and base % s:
+                return ((base + s - 1) // s) * s
+        return base
 
     def _scan_handle_arrays(self, dc: DeviceCorpus):
         """Engine dispatch over a resident corpus handle (single-chip;
@@ -938,7 +953,7 @@ class Matcher:
             else self.config.batch_pad
         )
         engine = self._pick_engine(sum(len(d) for d in docs))
-        packed = pack_documents(docs, self.config.chunk_len, halo, batch_pad)
+        packed = pack_documents(docs, self._pack_chunk_len(), halo, batch_pad)
         capacity = self.config.match_capacity
 
         if engine == "cascade":
@@ -1054,6 +1069,11 @@ class Matcher:
 
         mesh = data_mesh()
         collect = jax.process_count() > 1
+        cm0 = self.cascade_model
+        if cm0 is not None:
+            # round-3 scaling rule: capacities learned on one chip are
+            # global counts; each shard needs only its Poisson share
+            cm0.rescale_caps_per_shard(int(mesh.devices.size))
         row = NamedSharding(mesh, P("data"))
         chunks = jax.device_put(jnp.asarray(packed.chunks), row)
         lengths = jax.device_put(jnp.asarray(packed.lengths), row)

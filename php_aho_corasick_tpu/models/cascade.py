@@ -66,6 +66,11 @@ class CascadePlan:
     log2_words: int = 0
     sampled_salts: Tuple[int, ...] = ()
     sampled_words: Optional[np.ndarray] = None  # [2**log2_words] int32
+    #: second-code-family positional bloom (signature scale): built when
+    #: the entry count makes 32-bit code collisions non-negligible; the
+    #: grouped take path probes it with GRAM_BASE2 codes on extracted
+    #: slots (ops/filter_jax.GRAM_BASE2 rationale)
+    sampled_words2: Optional[np.ndarray] = None  # [2**log2_words] int32
     #: planner's estimated candidate starts per scanned byte (diagnostics)
     est_cand_density: float = 0.0
     #: lane-partitioned VMEM bloom (Pallas fast path; None when the pattern
@@ -124,10 +129,13 @@ _VERIFY_S = 30e-9
 _MAX_STRIDE = 32
 #: skip exact gram enumeration above this many (pattern, alignment) entries.
 _ENUM_CAP = 64_000_000
+#: build the second-code-family bloom once this many (pattern, alignment)
+#: entries make 32-bit code collisions non-negligible (n/2^32 per cell)
+WORDS2_MIN_ENTRIES = 1 << 20
 
 
 def _alignment_gram_codes(
-    longs: Sequence[bytes], q: int, s: int
+    longs: Sequence[bytes], q: int, s: int, base: int = GRAM_BASE
 ) -> Tuple[np.ndarray, np.ndarray]:
     """``(codes, aligns)`` of every long pattern's q-gram at offsets
     ``[0, s)`` — wrapping uint32 polynomial byte codes, bit-identical to
@@ -138,7 +146,7 @@ def _alignment_gram_codes(
         by_len.setdefault(len(p), []).append(p)
     codes: List[np.ndarray] = []
     aligns: List[np.ndarray] = []
-    base = np.uint32(GRAM_BASE)
+    base = np.uint32(base)
     for n, ps in sorted(by_len.items()):
         arr = np.frombuffer(b"".join(ps), np.uint8).reshape(len(ps), n)
         u = arr.astype(np.uint32)
@@ -395,6 +403,21 @@ def plan_cascade(
             if density <= config.cascade_max_cand_density:
                 vmem = _plan_vmem_bloom(codes, aligns, len(longs), s, config)
                 prefix = _plan_prefix_bloom(longs, min_long)
+                words2 = None
+                if codes.shape[0] >= WORDS2_MIN_ENTRIES:
+                    # 32-bit code space saturates: ~n/2^32 of random
+                    # grams equal a true entry CODE and pass every salt;
+                    # a second-family bloom makes that (n/2^32)^2
+                    from ..ops.filter_jax import GRAM_BASE2, SALT2
+
+                    codes2, _ = _alignment_gram_codes(
+                        longs, q, s, base=GRAM_BASE2
+                    )
+                    w2 = np.zeros(1 << log2_w, dtype=np.uint32)
+                    h2 = (codes2 ^ np.uint32(SALT2)) * np.uint32(KNUTH)
+                    widx2 = (h2 >> np.uint32(32 - log2_w)).astype(np.int64)
+                    np.bitwise_or.at(w2, widx2, bits)
+                    words2 = w2.view(np.int32)
                 return CascadePlan(
                     True,
                     f"sampled q={q} stride={s} probes={len(salts)}"
@@ -412,6 +435,7 @@ def plan_cascade(
                     log2_words=log2_w,
                     sampled_salts=salts,
                     sampled_words=words.view(np.int32),
+                    sampled_words2=words2,
                     est_cand_density=density,
                     vmem_log2_rows=vmem["log2_rows"] if vmem else 0,
                     vmem_salts=vmem["salts"] if vmem else (),
@@ -495,13 +519,46 @@ class CascadeModel:
         #: launch doesn't walk the doubling ladder (each bump recompiles).
         self._cap_coarse = 8
         self._force_take = False
+        lam = None
         if plan.vmem_words is not None:
             from ..ops.filter_jax import FUSED_BLOCK_R
 
             lam = plan.vmem_est_stray * FUSED_BLOCK_R
+        elif plan.mode == "sampled" and plan.log2_words:
+            # grouped take path: stage A probes one salt, so survivors
+            # per cell ~ the single-salt stray; the group size is chosen
+            # to keep the per-group mean small (take_group_block_r)
+            lam = self._take_stray1() * self.take_group_block_r()
+        if lam is not None:
             init = int(lam + 6.0 * lam**0.5 + 2)
             self._cap_coarse = max(8, min(128, -(-init // 8) * 8))
         self._cap_coarse_floor = self._cap_coarse
+
+    def _take_stray1(self) -> float:
+        """Per-cell single-salt stray estimate of the grouped take path:
+        stride alignment bits x the positional bloom's per-bit fill."""
+        p = self.plan
+        return min(
+            1.0,
+            p.stride * self.auto.n_patterns / float(1 << p.log2_words),
+        )
+
+    def take_group_block_r(self) -> int:
+        """Group size of the grouped take path's rank extraction, sized
+        so the expected survivors per group stay <= ~8 at the single-
+        salt stray (slot arrays and their stage-B probes scale with
+        ``mpr x n_groups``; smaller groups trade a finer extraction for
+        fewer wasted slots at high stray)."""
+        from ..ops.filter_jax import FUSED_BLOCK_R
+
+        p = self.plan
+        if p.mode != "sampled" or not p.log2_words:
+            return FUSED_BLOCK_R
+        br = FUSED_BLOCK_R
+        stray1 = self._take_stray1()
+        while br > 128 and stray1 * br > 8.0:
+            br //= 2
+        return br
 
     @property
     def learned_caps(self) -> Tuple[int, int]:
@@ -510,14 +567,39 @@ class CascadeModel:
         bench.py and steady-state serving loops)."""
         return max(self._cap_hits, 256), max(self._cap_flagged, 256)
 
-    def seed_caps(self, n_hits_est: int, n_flagged_est: int) -> None:
+    def seed_caps(
+        self, n_hits_est: int, n_flagged_est: int, n_shards: int = 1
+    ) -> None:
         """Pre-seed the adaptive capacities from workload knowledge (e.g. a
         known planted-match density) so the first launch on a new corpus
         doesn't walk the doubling ladder — each distinct capacity is a new
-        XLA compile shape (~20-40 s on TPU)."""
-        self._cap_hits = max(self._cap_hits, _next_cap(max(n_hits_est, 1)))
-        self._cap_flagged = max(
-            self._cap_flagged, _next_cap(max(n_flagged_est, 1))
+        XLA compile shape (~20-40 s on TPU).  Estimates are GLOBAL; with
+        ``n_shards > 1`` each shard gets the mean + Poisson-margin share
+        (parallel.shard_scan.per_shard_capacity — the round-3 rule that
+        per-shard capacity must SHRINK with the shard count)."""
+        from ..parallel.shard_scan import per_shard_capacity
+
+        a = per_shard_capacity(max(n_hits_est, 1), n_shards)
+        b = per_shard_capacity(max(n_flagged_est, 1), n_shards)
+        self._cap_hits = max(self._cap_hits, _next_cap(a))
+        self._cap_flagged = max(self._cap_flagged, _next_cap(b))
+
+    def rescale_caps_per_shard(self, n_shards: int) -> None:
+        """One-time rebase of learned capacities when entering a sharded
+        run: single-chip learning reflects GLOBAL counts, but each shard
+        only sees ~1/n of them (and pays verify work proportional to its
+        static capacity).  Subsequent sharded launches re-learn from the
+        pmax stats, so this only guides the first."""
+        from ..parallel.shard_scan import per_shard_capacity
+
+        if getattr(self, "_caps_sharded_for", None) == n_shards:
+            return
+        self._caps_sharded_for = n_shards
+        self._cap_hits = _next_cap(
+            per_shard_capacity(self._cap_hits, n_shards)
+        )
+        self._cap_flagged = _next_cap(
+            per_shard_capacity(self._cap_flagged, n_shards)
         )
 
     @property
@@ -614,6 +696,10 @@ class CascadeModel:
                     self._dev["vmem_table"] = jnp.asarray(p.vmem_words)
                 if p.prefix_words is not None:
                     self._dev["prefix_words"] = jnp.asarray(p.prefix_words)
+                if p.sampled_words2 is not None:
+                    self._dev["sampled_words2"] = jnp.asarray(
+                        p.sampled_words2
+                    )
             else:
                 self._dev["bloom_words"] = jnp.asarray(p.bloom_words)
         return self._dev
@@ -682,6 +768,37 @@ class CascadeModel:
                 prefix_len=p.prefix_len,
                 interpret=jax.default_backend() != "tpu",
             )
+        L = chunks.shape[1]
+        cc = cap_coarse or self._cap_coarse
+        if (
+            not self._force_take  # > 128 survivors/group: flat path only
+            and p.stride % 4 == 0
+            and L % p.stride == 0
+            and cc <= 128
+        ):
+            # grouped take path: rank-extracted compaction + per-slot
+            # prefix refinement (the signature-scale fast path)
+            from ..ops.filter_jax import filter_hits_sampled_grouped
+
+            return filter_hits_sampled_grouped(
+                dev["sampled_words"],
+                jnp.asarray(chunks),
+                jnp.asarray(lengths),
+                dev["min_long_len"],
+                q=p.q,
+                stride=p.stride,
+                log2_words=p.log2_words,
+                salts=p.sampled_salts,
+                shorts=p.shorts,
+                capacity=capacity,
+                cap_coarse=cc,
+                prefix_words=dev.get("prefix_words"),
+                prefix_salts=p.prefix_salts,
+                prefix_log2=p.prefix_log2,
+                prefix_len=p.prefix_len,
+                block_r=self.take_group_block_r(),
+                words2=dev.get("sampled_words2"),
+            )
         idx, lw, sw, n = filter_hits_sampled(
             dev["sampled_words"],
             jnp.asarray(chunks),
@@ -694,7 +811,7 @@ class CascadeModel:
             shorts=p.shorts,
             capacity=capacity,
         )
-        # single-stage path has no per-row slot capacity: report 0 so the
+        # legacy flat path has no per-row slot capacity: report 0 so the
         # caller's nc <= _cap_coarse check never trips
         return idx, lw, sw, n, jnp.zeros_like(n)
 

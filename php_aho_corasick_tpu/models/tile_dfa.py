@@ -76,6 +76,7 @@ class TileDfaModel:
             jnp.asarray(chunks),
             init,
             n_classes=self.auto.n_classes,
+            lengths=jnp.asarray(lengths),
             interpret=interpret,
         )
         idx, sts, n = compact_final_states(

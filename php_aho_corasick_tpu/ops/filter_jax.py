@@ -97,10 +97,18 @@ def short_pattern_mask(
 #: position keeps full weight mod 2^32; base 256 would zero out weights
 #: past the 4th byte).  Shared by device kernel and host plan builder.
 GRAM_BASE = 0x01000193  # FNV-1 prime
+#: second, independent code family for signature-scale sets: a 32-bit
+#: code saturates at ~n_entries/2^32 true code collisions per cell
+#: (12M entries => ~3e-3 — every salt passes because the CODE collides,
+#: not the hash), so a second polynomial digest of the same gram makes
+#: the joint collision rate (n/2^32)^2.  Probed on extracted slots only.
+GRAM_BASE2 = 0x31000197  # odd, independent of GRAM_BASE
+#: dedicated probe salt of the second-family bloom
+SALT2 = 0x6A09E667
 
 
 def sampled_gram_codes(
-    chunks: jax.Array, q: int, stride: int
+    chunks: jax.Array, q: int, stride: int, base: int = GRAM_BASE
 ) -> jax.Array:
     """Polynomial q-gram byte codes ``sum_j byte[p+j] * GRAM_BASE^(q-1-j)``
     (wrapping int32) at the sampled grid positions ``p = m * stride`` only
@@ -132,7 +140,7 @@ def sampled_gram_codes(
         for r in range(stride):
             j = i * stride + r
             if j < q:
-                w[r] = pow(GRAM_BASE, q - 1 - j, 1 << 32)
+                w[r] = pow(base, q - 1 - j, 1 << 32)
         if not w.any():
             continue
         w32 = jnp.asarray(w.astype(np.uint32).view(np.int32))
@@ -142,7 +150,7 @@ def sampled_gram_codes(
 
 
 def sampled_gram_codes_planes(
-    chunks: jax.Array, q: int, stride: int
+    chunks: jax.Array, q: int, stride: int, base: int = GRAM_BASE
 ) -> jax.Array:
     """:func:`sampled_gram_codes` via *cell-aligned word planes* — exact
     same codes, ~3x faster on TPU (measured: 16.5 -> 5.7 ms per 128 MiB,
@@ -181,18 +189,20 @@ def sampled_gram_codes_planes(
     code = jnp.zeros((B, M), jnp.uint32)
     for j in range(q):
         j4, k = divmod(j, 4)
-        w = np.uint32(pow(GRAM_BASE, q - 1 - j, 1 << 32))
+        w = np.uint32(pow(base, q - 1 - j, 1 << 32))
         byte = (planes[j4] >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
         code = code + byte * w
     return code.astype(jnp.int32)
 
 
-def sampled_codes_best(chunks: jax.Array, q: int, stride: int) -> jax.Array:
+def sampled_codes_best(
+    chunks: jax.Array, q: int, stride: int, base: int = GRAM_BASE
+) -> jax.Array:
     """Dispatch to the planes formulation when its alignment gate holds."""
     L = chunks.shape[1]
     if stride % 4 == 0 and L % stride == 0:
-        return sampled_gram_codes_planes(chunks, q, stride)
-    return sampled_gram_codes(chunks, q, stride)
+        return sampled_gram_codes_planes(chunks, q, stride, base)
+    return sampled_gram_codes(chunks, q, stride, base)
 
 
 @functools.partial(
@@ -306,6 +316,215 @@ def filter_hits_sampled(
 #: learned ``cap_coarse`` scales with it (models/cascade.py seeds it from
 #: the planner's stray estimate x FUSED_BLOCK_R)
 FUSED_BLOCK_R = 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "q", "stride", "log2_words", "salts", "shorts", "capacity",
+        "cap_coarse", "prefix_salts", "prefix_log2", "prefix_len",
+        "block_r",
+    ),
+)
+def filter_hits_sampled_grouped(
+    words: jax.Array,  # [2**log2_words] int32 positional bloom (HBM)
+    chunks: jax.Array,  # [B, L] uint8
+    lengths: jax.Array,  # [B] int32
+    min_long_len: jax.Array,  # scalar int32 (0 disables the long path)
+    q: int,
+    stride: int,
+    log2_words: int,
+    salts: Tuple[int, ...],
+    shorts: Tuple[bytes, ...],
+    capacity: int,
+    cap_coarse: int,
+    prefix_words=None,  # [2**prefix_log2 / 32] int32 bit bloom, or None
+    prefix_salts: Tuple[int, ...] = (),
+    prefix_log2: int = 0,
+    prefix_len: int = 0,
+    block_r: int = FUSED_BLOCK_R,
+    words2=None,  # [2**log2_words] int32 second-family bloom, or None
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Take-path sampled filter with group rank extraction + per-slot
+    refinement — the signature-scale fast path (VERDICT r3 #4).
+
+    Stage A probes ONLY the first salt over the grid — at signature
+    scale every full-grid gather against the GiB-class bloom costs
+    ~100+ ms, so the second salt moves to stage B where it re-probes
+    just the extracted slots (the classic cascade trade: the planner's
+    2-probe AND keeps selectivity, but only one probe needs to touch
+    every cell).  Compaction goes through the fused kernel's group rank
+    extraction instead of a flat nonzero over every grid cell
+    (17 ns/element x 5.6M cells was ~95 ms of the round-3 signature
+    pass); ``block_r`` (the group size) is chosen by the caller from the
+    single-salt stray estimate so slot arrays stay small.  Stage B then
+    ANDs the remaining salts and the pattern-prefix hash probe per
+    single-alignment slot (window words gathered per slot).  Contract
+    matches ``filter_hits_sampled_vmem``: ``(grid_idx [cap] slot-order,
+    long_word, short_word, n_final, n_coarse)`` with ``n_coarse`` the
+    per-group survivor max (retry ``cap_coarse`` when exceeded).
+    Requires ``stride % 4 == 0`` and ``stride | L`` (callers gate)."""
+    from .filter_pallas import group_rank_extract
+
+    B, L = chunks.shape
+    M = L // stride
+    spc = stride // 4
+    # ONE corpus word pack + phase split, shared by both code families
+    # AND the per-slot window fetches (three separate passes before)
+    wc = None
+    for k in range(4):
+        part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
+        wc = part if wc is None else (wc | part)
+    wc_flat = jax.lax.bitcast_convert_type(wc, jnp.int32).reshape(-1)
+    n_words_c = wc_flat.shape[0]
+
+    import numpy as _np
+
+    n_planes = (q - 1) // 4 + 1
+    planes = []
+    for j4 in range(n_planes):
+        shift, pidx = divmod(j4, spc)
+        pl_ = wc[:, pidx::spc] if spc > 1 else wc
+        if shift:
+            pl_ = jnp.concatenate(
+                [pl_[:, shift:], jnp.zeros((B, shift), pl_.dtype)], axis=1
+            )
+        planes.append(pl_)
+
+    def _poly_code(base):
+        c = jnp.zeros((B, M), jnp.uint32)
+        for j in range(q):
+            j4, k = divmod(j, 4)
+            byte = (planes[j4] >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+            c = c + byte * _np.uint32(pow(base, q - 1 - j, 1 << 32))
+        return c.astype(jnp.int32)
+
+    code = _poly_code(GRAM_BASE)
+
+    # salted probes, AND-combined, as a lax.scan over NSLAB slabs (the
+    # slab loop pipelines index computation with the gather unit —
+    # ~111 -> ~132 M lookups/s, docs/PERF_NOTES.md)
+    NSLAB = 8
+    n_grid = B * M
+    slab = -(-n_grid // NSLAB)
+    code_flat = code.reshape(-1)
+    if slab * NSLAB != n_grid:
+        code_flat = jnp.concatenate(
+            [code_flat, jnp.zeros((slab * NSLAB - n_grid,), jnp.int32)]
+        )
+    code_slabs = code_flat.reshape(NSLAB, slab)
+
+    def _probe_slab(acc, c):
+        # stage A: first salt only — the rest AND in on extracted slots
+        salt = salts[0]
+        h = (c.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+        widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+        return acc, jnp.take(words, widx)
+
+    _, w_slabs = jax.lax.scan(_probe_slab, jnp.int32(0), code_slabs)
+    w = w_slabs.reshape(-1)[:n_grid]
+    w = jnp.where(min_long_len > 0, w, 0)
+
+    if shorts:
+        sw2 = _short_start_words(chunks, lengths, shorts, stride, M)
+        sw = sw2.reshape(-1)
+    else:
+        sw = jnp.zeros_like(w)
+
+    R = -(-n_grid // 128)
+    n_blocks = max(1, -(-R // block_r))
+    tot = n_blocks * block_r * 128
+
+    def pad_flat(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((tot - x.shape[0],), x.dtype)]
+        )
+
+    mpr = min(128, max(8, -(-cap_coarse // 8) * 8))
+    # with a second-family bloom the extracted slot value is the
+    # GRAM_BASE2 code (its probe replaces the same-code second salt,
+    # which a true code collision would always pass); the shared planes
+    # make the second code a handful of extra multiply-adds
+    hv = _poly_code(GRAM_BASE2) if words2 is not None else code
+    r_s, w_s, swo_s, c_s, cnt = group_rank_extract(
+        pad_flat(w), pad_flat(sw), pad_flat(hv.reshape(-1)),
+        block_r, mpr, n_blocks, n_grid,
+    )
+
+    nrows = n_blocks * mpr
+    blk = (jnp.arange(nrows, dtype=jnp.int32) // mpr)[:, None]
+    lane = jnp.arange(128, dtype=jnp.int32)[None, :]
+    cell_s = (blk * block_r + r_s) * 128 + lane
+
+    # stage B1: per-SLOT re-probes (the slot arrays are ~mpr/block_r of
+    # the grid, so extra probes are nearly free here) — the second-family
+    # bloom when present, else the planner's remaining salts
+    if words2 is not None:
+        h = (c_s.astype(jnp.uint32) ^ jnp.uint32(SALT2)) * jnp.uint32(
+            KNUTH
+        )
+        widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+        w_s = w_s & jnp.take(words2, widx)
+    else:
+        for salt in salts[1:]:
+            h = (c_s.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(
+                KNUTH
+            )
+            widx = (h >> jnp.uint32(32 - log2_words)).astype(jnp.int32)
+            w_s = w_s & jnp.take(words, widx)
+
+    alive = (r_s >= 0) & ((w_s | swo_s) != 0) & (cell_s < n_grid)
+    slot, n_final = blocked_nonzero(alive.reshape(-1), capacity)
+    safe = jnp.minimum(slot, nrows * 128 - 1)
+    valid = slot < INT32_MAX
+    idx = jnp.where(valid, jnp.take(cell_s.reshape(-1), safe), INT32_MAX)
+    lw = jnp.where(valid, jnp.take(w_s.reshape(-1), safe), 0)
+    swo = jnp.where(valid, jnp.take(swo_s.reshape(-1), safe), 0)
+
+    # stage B2: prefix refinement on the COMPACTED hits only (the window
+    # -word fetch costs ~6 gathers per element, so it must run on the
+    # capacity-sized prefix, not the slot arrays).  Refined-dead entries
+    # keep their compaction slot with idx=INT32_MAX / zero words — every
+    # consumer masks on those; ``n_final`` stays the pre-refinement
+    # count, which is what the output capacity must cover.
+    prefix_on = (
+        prefix_words is not None
+        and stride <= 32
+        and 4 <= prefix_len <= 20
+        and prefix_salts
+    )
+    if prefix_on:
+        from .filter_pallas import _prefix_hash_select, _window_offsets
+
+        c_min, c_max = _window_offsets(spc, prefix_len)
+        safe_cell = jnp.where(valid, idx, 0)
+
+        def get_plane(c):
+            widx = jnp.clip(safe_cell * spc + c, 0, n_words_c - 1)
+            return jnp.take(wc_flat, widx)
+
+        h_s = _prefix_hash_select(
+            get_plane, lw, stride, prefix_len, c_min, c_max
+        )
+        ok = None
+        for salt in prefix_salts:
+            hh = (h_s.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(
+                KNUTH
+            )
+            slots_b = (hh >> jnp.uint32(32 - prefix_log2)).astype(
+                jnp.int32
+            )
+            bit = bloom_hit_take(prefix_words, slots_b)
+            ok = bit if ok is None else (ok & bit)
+        smask = (1 << stride) - 1 if stride < 32 else -1
+        v = lw & smask
+        single = (v != 0) & ((v & (v - 1)) == 0)
+        long_ok = (lw != 0) & (jnp.logical_not(single) | (ok == 1))
+        keep = long_ok | (swo != 0)
+        idx = jnp.where(keep, idx, INT32_MAX)
+        lw = jnp.where(keep, lw, 0)
+        swo = jnp.where(keep, swo, 0)
+    return idx, lw, swo, n_final, jnp.max(cnt)
 
 
 def _short_start_words(chunks, lengths, shorts, stride, M):

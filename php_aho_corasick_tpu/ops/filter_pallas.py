@@ -485,6 +485,17 @@ def _fused_extract_xla(
         )
     else:
         hval = code
+    return group_rank_extract(w, sw, hval, block_r, mpr, n_blocks, n_grid)
+
+
+def group_rank_extract(w, sw, hval, block_r, mpr, n_blocks, n_grid):
+    """Pure-XLA survivor rank extraction per block column — the exact
+    mirror of the fused kernel's stage 4, shared by the interpret path
+    and the grouped take-path filter (which replaces its former
+    17 ns/element flat nonzero compaction with this, VERDICT r3 #4a).
+    Inputs are flat ``[n_blocks * block_r * 128]`` arrays; returns
+    ``(r_s, w_s, swo_s, h_s, cnt)`` in the fused kernel's slot layout."""
+    tot = n_blocks * block_r * 128
     cell = jnp.arange(tot, dtype=jnp.int32)
     hit = ((w | sw) != 0) & (cell < n_grid)
 

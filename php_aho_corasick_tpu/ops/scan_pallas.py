@@ -59,9 +59,15 @@ def scan_states_tile(
     chunks: jax.Array,  # [B, L] uint8
     init_state: jax.Array,  # [B] int32
     n_classes: int,
+    lengths=None,  # [B] int32; None treats every row as full
     interpret: bool = False,
 ):
-    """Tile-engine DFA scan. Returns (states [B, L] int32, carry [B])."""
+    """Tile-engine DFA scan. Returns (states [B, L] int32, carry [B]).
+
+    ``carry[b]`` is the state after the last *valid* byte
+    (``states[b, lengths[b]-1]``; ``init_state[b]`` for empty rows) —
+    NOT ``states[:, -1]``, which pad bytes poison for rows shorter than
+    ``L`` (the dense engine's contract, ops/scan_jax.py)."""
     from .scan_jax import _classes
 
     B, L = chunks.shape
@@ -106,4 +112,10 @@ def scan_states_tile(
         .transpose(0, 2, 1)
         .reshape(Bp, L)[:B]
     )
-    return states, states[:, -1] if L else init_state
+    if L == 0:
+        return states, init_state
+    if lengths is None:
+        return states, states[:, -1]
+    last_t = jnp.maximum(lengths - 1, 0)
+    carry = jnp.take_along_axis(states, last_t[:, None], axis=1)[:, 0]
+    return states, jnp.where(lengths > 0, carry, init_state)

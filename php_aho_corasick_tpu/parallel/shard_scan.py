@@ -39,6 +39,26 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.scan_jax import INT32_MAX, scan_and_compact
 from .mesh import DATA_AXIS
 
+
+def per_shard_capacity(
+    global_est: int, n_shards: int, floor: int = 256
+) -> int:
+    """Per-shard buffer capacity from a GLOBAL hit estimate: the shard
+    mean plus a 4-sigma Poisson imbalance margin (rows are sharded
+    round-robin-by-block, so per-shard counts concentrate around
+    ``global/n``).
+
+    This encodes the round-3 scaling finding as a rule
+    (docs/PERF_NOTES.md): ``verify_windows`` walks its full *static*
+    capacity, so a shard sized for the global count does ``n_shards`` x
+    too much verify work and total throughput FALLS as devices are added
+    (measured 0.050 -> 0.006 GB/s at 8 virtual devices with global-sized
+    per-shard caps; with per-shard sizing 2 devices beat 1).  The
+    ``floor`` is the fixed term of the scaling-efficiency model: chips
+    stop helping once ``global/n`` drops under it."""
+    mean = max(int(global_est), 1) / max(n_shards, 1)
+    return max(floor, int(mean + 4.0 * mean**0.5 + 8))
+
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover - older jax

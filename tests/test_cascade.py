@@ -457,6 +457,33 @@ def test_sampled_cascade_sharded_parity():
         )
 
 
+def test_grouped_take_words2_parity(monkeypatch):
+    """Second-code-family bloom (signature-scale code-collision killer)
+    forced on a small set: the dual-code grouped take path must stay
+    exact."""
+    from php_aho_corasick_tpu.models import cascade as cascmod
+
+    monkeypatch.setattr(cascmod, "WORDS2_MIN_ENTRIES", 1)
+    rng = random.Random(17)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(64)
+    })
+    text = bytearray(rng.choice(b"abcdef") for _ in range(40000))
+    for _ in range(25):
+        p = rng.choice(patterns)
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     cascade_mode="sampled", bloom_impl="take")
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)],
+                cfg)
+    m.finalize()
+    assert m.cascade_model.plan.sampled_words2 is not None
+    got = [(r["pos"], r["keyIdx"]) for r in m.match(text)]
+    assert got == brute_force(patterns, text)
+
+
 def test_records_overflow_sentinel_rewalk():
     """> VERIFY_KR final positions in one verified window must overflow
     to the sentinel record and be re-walked exactly on the host

@@ -62,3 +62,46 @@ def test_sharded_capacity_retry():
     res = c.match(b"a" * 5000)
     assert len(res) == 5000
     assert res[-1]["pos"] == 5000
+
+
+def test_per_shard_capacity_rule():
+    """Round-3 scaling finding encoded as a rule: per-shard capacity
+    shrinks with shard count (verify work is capacity-proportional, so
+    global-sized per-shard caps made throughput FALL with devices),
+    keeps a Poisson imbalance margin, and floors at the fixed term of
+    the efficiency model."""
+    from php_aho_corasick_tpu.parallel.shard_scan import per_shard_capacity
+
+    est = 100_000
+    shards = (1, 2, 4, 8, 16)
+    caps = [per_shard_capacity(est, n) for n in shards]
+    assert caps == sorted(caps, reverse=True)
+    for n, c in zip(shards, caps):
+        assert c >= 256
+        assert c * n >= est  # margin: shards jointly cover the estimate
+    assert per_shard_capacity(0, 8) == 256  # floor
+
+
+def test_seed_caps_shard_scaled():
+    rng = random.Random(5)
+    patterns = [
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(64)
+    ]
+    m = Matcher(
+        [{"id": i, "value": p} for i, p in enumerate(set(patterns))],
+        ScanConfig(backend="device", engine="cascade", auto_shard=False),
+    )
+    m.finalize()
+    cm = m.cascade_model
+    base_hits = cm._cap_hits
+    cm.seed_caps(100_000, 100_000, n_shards=8)
+    sharded_cap = cm._cap_hits
+    cm2 = Matcher(
+        [{"id": i, "value": p} for i, p in enumerate(set(patterns))],
+        ScanConfig(backend="device", engine="cascade", auto_shard=False),
+    )
+    cm2.finalize()
+    cm2 = cm2.cascade_model
+    cm2.seed_caps(100_000, 100_000)
+    assert sharded_cap < cm2._cap_hits
+    assert sharded_cap >= base_hits  # never shrinks below prior learning
