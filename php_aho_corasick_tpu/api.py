@@ -920,6 +920,13 @@ class Matcher:
             k = self.kgram_model.k
             if cm.plan.stride > max(k, 1):
                 return "cascade"
+        if on_tpu and self.tile_model is not None:
+            # small automata (the reference's own demo regime) run the
+            # whole table out of VMEM on the VPU — measured 0.571 GB/s
+            # vs kgram 0.270 / dfa 0.082 at S*C=1099, 32 MiB
+            # (docs/PERF_NOTES.md round 4); off-TPU the kernel would
+            # interpret, so the XLA engines keep the job there
+            return "tile"
         if total_payload >= cfg.kgram_min_bytes and self.kgram_model.k >= 2:
             return "kgram"
         return "dfa"
@@ -990,14 +997,13 @@ class Matcher:
             )
         else:
             if use_mesh:
-                # (tile falls back to the sharded dense kernel for now)
                 idx_np, sts_np, n = self._run_sharded(
                     packed,
                     capacity,
                     engine=(
                         "compressed"
                         if self.table_format == "compressed"
-                        else "dfa"
+                        else engine  # "tile" or "dfa": both sharded
                     ),
                 )
             else:
@@ -1157,6 +1163,7 @@ class Matcher:
             sharded_scan_compact,
             sharded_scan_compact_compressed,
             sharded_scan_compact_kgram,
+            sharded_scan_compact_tile,
         )
 
         mesh = data_mesh()
@@ -1204,6 +1211,12 @@ class Matcher:
                     mesh, dev, chunks, init, lengths, emit_from,
                     n_classes=auto.n_classes, n_dense=auto.n_dense,
                     capacity=capacity, collect=collect,
+                )
+            elif engine == "tile":
+                idx, aux, counts, gstats, _ = sharded_scan_compact_tile(
+                    mesh, dev, chunks, init, lengths, emit_from,
+                    n_classes=auto.n_classes, capacity=capacity,
+                    collect=collect,
                 )
             else:
                 idx, aux, counts, gstats, _ = sharded_scan_compact(

@@ -31,7 +31,18 @@ SUB = 8
 
 
 def _kernel(n_banks: int, n_classes: int, table_ref, cls_ref, init_ref,
-            out_ref):
+            out_ref, carry_ref):
+    """One (stream-block, time-block) grid step.  The time axis is
+    blocked so VMEM holds only ``Lb`` timesteps of classes/states per
+    step (a full 4 KiB row would need ~34 MB); the running state lives
+    in a scratch buffer that persists across the sequentially-iterated
+    time blocks (innermost grid dim)."""
+    lb = pl.program_id(1)
+
+    @pl.when(lb == 0)
+    def _():
+        carry_ref[...] = init_ref[0].astype(jnp.int32)
+
     def step(t, state):
         c = cls_ref[0, t].astype(jnp.int32)  # [8, 128]
         idx = state * n_classes + c
@@ -45,8 +56,8 @@ def _kernel(n_banks: int, n_classes: int, table_ref, cls_ref, init_ref,
         out_ref[0, t] = nxt
         return nxt
 
-    L = cls_ref.shape[1]
-    jax.lax.fori_loop(0, L, step, init_ref[0].astype(jnp.int32))
+    Lb = cls_ref.shape[1]
+    carry_ref[...] = jax.lax.fori_loop(0, Lb, step, carry_ref[...])
 
 
 @functools.partial(
@@ -81,36 +92,49 @@ def scan_states_tile(
     cls = _classes(chunks, byte_class, used_bytes).astype(jnp.int8)
     cls = jnp.zeros((Bp, L), jnp.int8).at[:B].set(cls)
     init = jnp.zeros((Bp,), jnp.int32).at[:B].set(init_state)
-    # [n_blocks, L, 8, 128]: timestep-major tiles per 1024-stream block
+    # time axis blocked to Lb steps per grid step (VMEM); trailing pad
+    # reads class 0 whose states are sliced away below
+    Lb = min(max(L, 1), 1024)
+    n_lb = -(-L // Lb) if L else 1
+    Lp = n_lb * Lb
+    # [n_blocks, Lp, 8, 128]: timestep-major tiles per 1024-stream block
     n_blocks = Bp // STREAMS
     cls_t = (
-        cls.reshape(n_blocks, STREAMS, L)
+        jnp.concatenate(
+            [cls, jnp.zeros((Bp, Lp - L), jnp.int8)], axis=1
+        )
+        .reshape(n_blocks, STREAMS, Lp)
         .transpose(0, 2, 1)
-        .reshape(n_blocks, L, SUB, 128)
+        .reshape(n_blocks, Lp, SUB, 128)
     )
     init_t = init.reshape(n_blocks, SUB, 128)
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_banks, n_classes),
-        grid=(n_blocks,),
+        grid=(n_blocks, n_lb),
         in_specs=[
-            pl.BlockSpec((n_banks, 128), lambda i: (0, 0),
+            pl.BlockSpec((n_banks, 128), lambda i, lb: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L, SUB, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, Lb, SUB, 128), lambda i, lb: (i, lb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, SUB, 128), lambda i, lb: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, SUB, 128), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, L, SUB, 128), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1, Lb, SUB, 128), lambda i, lb: (i, lb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks, Lp, SUB, 128), jnp.int32
+        ),
+        scratch_shapes=[pltpu.VMEM((SUB, 128), jnp.int32)],
         interpret=interpret,
     )(banks, cls_t, init_t)
 
     states = (
-        out.reshape(n_blocks, L, STREAMS)
+        out.reshape(n_blocks, Lp, STREAMS)
         .transpose(0, 2, 1)
-        .reshape(Bp, L)[:B]
+        .reshape(Bp, Lp)[:B, :L]
     )
     if L == 0:
         return states, init_state
