@@ -181,7 +181,8 @@ def main() -> None:
         hd = m.device_corpus([bytes(d) for d in planted_docs])
         res_d = m.match_arrays(hd)  # warm + settle caps
         m.match_arrays(hd)
-        dreps = 4
+        dreps = 8  # the per-batch scalar+record fetches (~50 ms of
+        # tunnel latency) amortize across the pipelined batch
         m.match_arrays_many([hd] * dreps)  # warm the batch structure
         dtimes = []
         for _ in range(3):
