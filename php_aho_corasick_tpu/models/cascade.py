@@ -34,16 +34,21 @@ from ..utils import next_pow2 as _next_pow2
 
 
 def _next_cap(n: int) -> int:
-    """Smallest of ``{2**k, 3 * 2**(k-1)}`` >= n: capacity sizing at 1.5x
-    granularity.  Device verify/compaction cost is capacity-proportional,
-    so pure pow2 rounding wastes up to 2x work right after a threshold
-    (66k matches -> 131072 slots); the extra granularity costs at most
-    one more compile per workload scale (persistent-cached)."""
+    """Smallest of ``{1, 1.25, 1.5, 1.75} * 2**k`` >= n: capacity sizing
+    at quarter-octave granularity.  Device verify/compaction cost is
+    capacity-proportional, so pure pow2 rounding wastes up to 2x work
+    right after a threshold (66k matches -> 131072 slots; quarter steps
+    give 81920).  Each distinct capacity is one extra compile per
+    workload scale (persistent-cached)."""
     n = max(int(n), 1)
     p = 1
     while p < n:
         p *= 2
-    return p if n > 3 * p // 4 else 3 * p // 4
+    for frac in (4, 5, 6, 7):
+        c = frac * p // 8
+        if c >= n:
+            return c
+    return p
 
 
 @dataclasses.dataclass

@@ -144,28 +144,9 @@ def bloom_word_vmem(
         # checks reject kernel constants), and off-TPU the XLA gather is
         # the faster path anyway.  The kernel body itself is covered by
         # the force_pallas interpret-mode tests.
-        N = (1 << log2_rows) // pack  # physical words per probe table
-        sw = 32 // pack
-        words_flat = table.reshape(-1)
-        acc = None
-        for p, salt in enumerate(salts):
-            h = (flat.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(
-                KNUTH
-            )
-            rows = (h >> jnp.uint32(32 - log2_rows)).astype(jnp.int32)
-            if pack > 1:
-                lane = rows & 127
-                bank = rows >> 7
-                phys = (bank // pack) * 128 + lane
-                got = jnp.take(words_flat, p * N + phys)
-                got = (
-                    (got.astype(jnp.uint32) >> ((bank % pack) * sw))
-                    & jnp.uint32((1 << sw) - 1)
-                ).astype(jnp.int32)
-            else:
-                got = jnp.take(words_flat, p * N + rows)
-            acc = got if acc is None else (acc & got)
-        return acc.reshape(shape)
+        return _bank_probe_xla(
+            table, flat, salts, log2_rows, pack
+        ).reshape(shape)
     cols = 128
     rows = -(-n // cols)
     rows_pad = -(-rows // block_r) * block_r
