@@ -58,5 +58,45 @@ except AhoError:
     pass
 st = Matcher(["dup", "dup"])  # duplicate silently dropped from automaton
 assert [s.name for s in st._statuses] == ["SUCCESS", "DUPLICATE_PATTERN"]
-print("VERIFY DRIVE OK:", len(recs), "cascade records; device =", end=" ")
+
+# round-4 surfaces: device-resident corpus handles + pipelined records
+# path, match-dense corpus, vs the host backend (exact parity)
+docs = []
+for _ in range(8):
+    d = bytearray(rng.choice(b"abcdef") for _ in range(30_000))
+    for _ in range(40):  # dense plants exercise the record slots
+        p = needles[rng.randrange(len(needles))]
+        pos = rng.randrange(0, len(d) - 16)
+        d[pos : pos + 16] = p
+    docs.append(bytes(d))
+handle = m.device_corpus(docs)
+dev_many = m.match_many(handle)
+host_m = Matcher([{"id": i, "value": p} for i, p in enumerate(needles)],
+                 ScanConfig(backend="host"))
+host_many = host_m.match_many(docs)
+assert dev_many == host_many, (
+    [len(x) for x in dev_many], [len(x) for x in host_many]
+)
+arr = m.match_arrays(handle)
+outs = m.match_arrays_many([handle, handle])
+import numpy as _np
+for o in outs:
+    for k in ("doc", "pos", "start_postion", "pattern"):
+        _np.testing.assert_array_equal(o[k], arr[k])
+n_recs = int(arr["doc"].shape[0])
+assert n_recs == sum(map(len, host_many))
+
+# tile engine auto-selected for small automata on TPU
+tm = Matcher([{"id": i, "value": p} for i, p in enumerate(
+    [b"abca", b"cab", b"bb"])], ScanConfig(backend="device"))
+tm.finalize()
+assert tm._pick_engine(1 << 20) == "tile"
+ttext = bytes(rng.choice(b"abc") for _ in range(40_000))
+assert tm.match(ttext) == Matcher(
+    [{"id": i, "value": p} for i, p in enumerate([b"abca", b"cab", b"bb"])],
+    ScanConfig(backend="host"),
+).match(ttext)
+
+print(f"VERIFY DRIVE OK: {len(recs)} cascade records, "
+      f"{n_recs} handle records, tile ok; device =", end=" ")
 import jax; print(jax.devices()[0])
