@@ -457,6 +457,24 @@ def test_sampled_cascade_sharded_parity():
         )
 
 
+def test_force_take_escape_at_pathological_density():
+    """> 128 survivors per extraction group exceed the fused path's
+    structural slot ceiling: the model must permanently fall back to the
+    flat take filter and stay exact (a match every 16 bytes over 1 MiB
+    puts ~512 hits in every 1024-cell column group)."""
+    p = b"abcdefabcdefabcd"
+    text = p * 70000
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     cascade_mode="sampled", bloom_impl="pallas_vmem",
+                     chunk_len=4096)
+    m = Matcher([{"id": 0, "value": p}], cfg)
+    m.finalize()
+    recs = m.match(text)
+    assert m.cascade_model._force_take
+    assert len(recs) == 70000
+    assert recs[0]["pos"] == 16 and recs[-1]["pos"] == len(text)
+
+
 def test_grouped_take_words2_parity(monkeypatch):
     """Second-code-family bloom (signature-scale code-collision killer)
     forced on a small set: the dual-code grouped take path must stay
