@@ -617,13 +617,11 @@ class CascadeModel:
     @property
     def records_ok(self) -> bool:
         """Gate for the device match-record emission path
-        (ops/filter_jax.verify_windows_records): needs the dense table
-        (compressed sets walk via the compressed verifier), a reserved
-        sentinel ``j`` (win_len <= 31), and states packable next to a
-        5-bit position (states < 2**26)."""
+        (ops/filter_jax.verify_windows_records[_compressed]): needs a
+        reserved sentinel ``j`` (win_len <= 31) and states packable next
+        to a 5-bit position (states < 2**26)."""
         return (
             self.device_verify_ok
-            and not self._compressed
             and self.win_len <= 31
             and self.auto.n_states < (1 << 26)
         )
@@ -989,13 +987,37 @@ class CascadeModel:
         expands records instead of re-walking windows, so host + relay
         cost scales with the match count.  Returns ``(rec_cell,
         rec_pack, n_d, nr_d, nc_d)`` device values (no host fetch)."""
-        from ..ops.filter_jax import verify_windows_records
+        from ..ops.filter_jax import (
+            verify_windows_records,
+            verify_windows_records_compressed,
+        )
 
         dd = self.dense_model.device_arrays
         dev = self.device_arrays
         idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
             chunks_d, lengths_d, cap_a
         )
+        if self._compressed:
+            rec_cell, rec_pack, nr_d = verify_windows_records_compressed(
+                dd["dense_flat"],
+                dd["meta"],
+                dd["exc_target"],
+                dev["byte_class"],
+                dev["used_bytes"],
+                chunks_d,
+                lengths_d,
+                emit_from_d,
+                idx,
+                dd["dense_final_start"],
+                dd["final_start"],
+                n_classes=self.auto.n_classes,
+                n_dense=self.auto.n_dense,
+                stride=self.plan.stride,
+                win_len=self.win_len,
+                capacity=cap_r,
+                n_hits=cap_a,
+            )
+            return rec_cell, rec_pack, n_d, nr_d, nc_d
         rec_cell, rec_pack, nr_d = verify_windows_records(
             dd["table_flat"],
             dev["byte_class"],

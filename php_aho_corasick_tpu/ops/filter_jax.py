@@ -1086,6 +1086,99 @@ def verify_windows_records(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "n_classes", "n_dense", "stride", "win_len", "capacity", "n_hits",
+    ),
+)
+def verify_windows_records_compressed(
+    dense_flat: jax.Array,  # [D*C] int32 dense-bank rows
+    meta: jax.Array,  # [S-D] int32 packed (skip * EXC_PACK + exc_class + 1)
+    exc_target: jax.Array,  # [S-D] int32
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8
+    lengths: jax.Array,  # [B] int32
+    emit_from: jax.Array,  # [B] int32
+    grid_idx: jax.Array,  # [>=n_hits] int32 b*M+m hits, INT32_MAX-padded
+    dense_final_start: jax.Array,  # scalar int32
+    final_start: jax.Array,  # scalar int32
+    n_classes: int,
+    n_dense: int,
+    stride: int,
+    win_len: int,  # <= 31 (REC_OVERFLOW_J is reserved)
+    capacity: int,
+    n_hits: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Compressed-table edition of :func:`verify_windows_records`: the
+    per-step walk is the fixed 3-gather compressed lookup and finality
+    the two-range predicate (see ``verify_windows_compressed``), with
+    the same per-window record slots / overflow sentinel — this brings
+    match-count-proportional host work to signature-scale sets whose
+    dense table exceeds HBM."""
+    from ..core.tables import EXC_PACK
+
+    B, L = chunks.shape
+    M = -(-L // stride)
+    H = min(n_hits, grid_idx.shape[0])
+    grid_idx = grid_idx[:H]
+    W = win_len
+    active = grid_idx < INT32_MAX
+    g = jnp.where(active, grid_idx, 0)
+    b = g // M
+    w0 = (g % M) * stride - (stride - 1)
+    base = b * L + w0
+    row_len = lengths[b]
+    row_emit = emit_from[b]
+
+    j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+    bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
+    byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
+    cls2d = _classes(byte.astype(jnp.uint8), byte_class, used_bytes)
+
+    D = jnp.int32(n_dense)
+    state = jnp.zeros((H,), jnp.int32)
+    cnt = jnp.zeros((H,), jnp.int32)
+    slots = [jnp.zeros((H,), jnp.int32) for _ in range(VERIFY_KR)]
+    for j in range(W):
+        pos_j = w0 + j
+        valid_j = (pos_j >= 0) & (pos_j < row_len) & active
+        c = jnp.where(valid_j, cls2d[:, j], 0)
+        sp = jnp.maximum(state - D, 0)
+        m_ = jnp.take(meta, sp)
+        tgt = jnp.take(exc_target, sp)
+        key = m_ % EXC_PACK - 1
+        skip = m_ // EXC_PACK
+        row = jnp.where(state < D, state, skip)
+        fb = jnp.take(dense_flat, row * n_classes + c)
+        state = jnp.where((state >= D) & (c == key), tgt, fb).astype(
+            jnp.int32
+        )
+        is_fin = (state >= final_start) | (
+            (state < D) & (state >= dense_final_start)
+        )
+        fin = is_fin & valid_j & (pos_j >= row_emit)
+        pack = state * 32 + j
+        for k in range(VERIFY_KR):
+            slots[k] = jnp.where(fin & (cnt == k), pack, slots[k])
+        cnt = cnt + fin.astype(jnp.int32)
+    over = cnt > VERIFY_KR
+    slots.append(jnp.where(over, jnp.int32(REC_OVERFLOW_J), 0))
+    used = [cnt > k for k in range(VERIFY_KR)] + [over]
+
+    alive = jnp.stack(used).reshape(-1)
+    slot_idx, n_rec = blocked_nonzero(alive, capacity)
+    tot = (VERIFY_KR + 1) * H
+    safe = jnp.minimum(slot_idx, tot - 1)
+    valid = slot_idx < INT32_MAX
+    pk = jnp.stack(slots).reshape(-1)
+    cells = jnp.take(grid_idx, safe % H)
+    rec_cell = jnp.where(valid, cells, INT32_MAX)
+    rec_pack = jnp.where(valid, jnp.take(pk, safe), 0)
+    return rec_cell, rec_pack, n_rec
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "n_classes", "kv", "stride", "win_len", "capacity", "n_hits",
     ),
 )
