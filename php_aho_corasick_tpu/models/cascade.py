@@ -732,12 +732,13 @@ class CascadeModel:
         self, chunks, lengths, capacity: int, cap_coarse: Optional[int] = None
     ):
         """One launch of the grid-domain sampled filter.  Returns
-        ``(grid_idx, long_word, short_word, n_hits, n_coarse)`` — the
-        single-stage take path has no per-row slot capacity and reports
-        ``n_coarse == 0`` (so the caller's coarse-capacity check never
-        trips); for the two-stage VMEM path ``n_coarse`` is the stage-1
-        survivor count whose own capacity (``cap_coarse``) must also not
-        overflow."""
+        ``(grid_idx, long_word, short_word, n_hits, n_coarse)``.  The
+        VMEM and grouped-take paths report ``n_coarse`` = the max
+        survivors per extraction group (their ``cap_coarse`` slot
+        capacity must not overflow); the legacy flat take path (used
+        when the cell-alignment gate fails or after ``_force_take``) has
+        no slot capacity and reports ``n_coarse == 0`` so the caller's
+        coarse-capacity check never trips."""
         import jax
         import jax.numpy as jnp
 
@@ -864,9 +865,9 @@ class CascadeModel:
         capacity adapts (up AND down) to the last observed hit count;
         overflowing any stage retries with that capacity doubled.
         ``launch(cap_a, cap_b)`` must return ``(cells, n_hits, n_flagged,
-        n_coarse)`` with host ints for the counts (``n_coarse`` checks the
-        VMEM filter's stage-1 capacity, ``self._cap_coarse``; the take
-        path reports ``n_coarse == 0`` since it has no slot capacity)."""
+        n_coarse)`` with host ints for the counts (``n_coarse`` checks
+        the extraction slot capacity ``self._cap_coarse``; the legacy
+        flat take path reports ``n_coarse == 0`` since it has none)."""
         cap_a = max(self._cap_hits, 256)
         cap_b = self._cap_flagged
         while True:
