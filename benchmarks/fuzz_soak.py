@@ -98,19 +98,44 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cases", type=int, default=200, help=(
+        "cases per child process — every random config is a fresh XLA "
+        "compile, and a few hundred accumulated executables exhaust "
+        "process memory (observed LLVM 'Cannot allocate memory' at "
+        "~360 cases), so the parent re-spawns children"
+    ))
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
     rng = random.Random(args.seed)
     t0 = time.time()
-    n = ok = 0
+    if args.child:
+        n = ok = 0
+        for _ in range(args.cases):
+            r = one_case(random.Random(rng.randrange(1 << 30)))
+            n += 1
+            ok += "ok" in r
+        print(f"CHILD OK: {n} cases, {ok} produced scans", flush=True)
+        return
+    import subprocess
+
+    total = 0
     while time.time() - t0 < args.seconds:
-        case_seed = rng.randrange(1 << 30)
-        r = one_case(random.Random(case_seed))
-        n += 1
-        ok += "ok" in r
-        if n % 20 == 0:
-            print(f"{n} cases ({ok} scanned) in "
-                  f"{time.time() - t0:.0f}s", flush=True)
-    print(f"SOAK OK: {n} cases, {ok} produced scans, 0 mismatches")
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--child",
+            "--seed", str(rng.randrange(1 << 30)),
+            "--cases", str(args.cases),
+        ]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        tail = (r.stdout + r.stderr).strip().splitlines()
+        if r.returncode != 0 or not any(
+            ln.startswith("CHILD OK") for ln in tail
+        ):
+            print("SOAK FAILURE in child:")
+            print("\n".join(tail[-25:]))
+            sys.exit(1)
+        total += args.cases
+        print(f"{total} cases in {time.time() - t0:.0f}s", flush=True)
+    print(f"SOAK OK: {total} cases, 0 mismatches")
 
 
 if __name__ == "__main__":
