@@ -381,7 +381,8 @@ class Matcher:
             )
         halo = max(self._auto.max_len - 1, 0)
         packed = pack_documents(
-            docs, self._pack_chunk_len(), halo, self.config.batch_pad
+            docs, self._pack_chunk_len(), halo, self.config.batch_pad,
+            row_align=self._row_align(),
         )
         return DeviceCorpus(
             packed,
@@ -396,10 +397,12 @@ class Matcher:
     def _pack_chunk_len(self) -> int:
         """Chunk row length used for packing: the configured ``chunk_len``
         rounded UP to a multiple of the sampled cascade's stride (when the
-        stride is cell-aligned), so the fused/grouped filter paths' exact
-        per-cell word mapping (``stride % 4 == 0 and stride | L``) holds —
-        e.g. stride-12 signature plans round 4096 -> 4104.  Pure padding:
-        chunking is internal, results are row-length independent."""
+        stride is cell-aligned), so interior rows land near the aligned
+        length.  Pure padding: chunking is internal, results are
+        row-length independent.  The hard ``stride | L`` gate of the
+        fused/grouped paths is enforced by :meth:`_row_align` (the packed
+        row length is what matters, chunk rounding alone cannot guarantee
+        it once the halo + tile alignment are added — ADVICE.md r4)."""
         base = self.config.chunk_len
         cm = self.cascade_model
         if cm is not None and cm.plan.mode == "sampled":
@@ -407,6 +410,20 @@ class Matcher:
             if s and s % 4 == 0 and base % s:
                 return ((base + s - 1) // s) * s
         return base
+
+    def _row_align(self) -> int:
+        """Row-length alignment for ``pack_documents``: ``lcm(stride,
+        128)`` when the sampled cascade's cell-aligned fast paths apply,
+        so the packed ``L`` always satisfies their ``stride | L`` gate
+        regardless of halo or document lengths."""
+        import math
+
+        cm = self.cascade_model
+        if cm is not None and cm.plan.mode == "sampled":
+            s = cm.plan.stride
+            if s and s % 4 == 0:
+                return math.lcm(s, 128)
+        return 128
 
     def _scan_handle_arrays(self, dc: DeviceCorpus):
         """Engine dispatch over a resident corpus handle (single-chip;
@@ -960,7 +977,10 @@ class Matcher:
             else self.config.batch_pad
         )
         engine = self._pick_engine(sum(len(d) for d in docs))
-        packed = pack_documents(docs, self._pack_chunk_len(), halo, batch_pad)
+        packed = pack_documents(
+            docs, self._pack_chunk_len(), halo, batch_pad,
+            row_align=self._row_align(),
+        )
         capacity = self.config.match_capacity
 
         if engine == "cascade":

@@ -496,7 +496,7 @@ def filter_hits_sampled_grouped(
     if prefix_on:
         from .filter_pallas import _prefix_hash_select, _window_offsets
 
-        c_min, c_max = _window_offsets(spc, prefix_len)
+        c_min = _window_offsets(spc, prefix_len)
         safe_cell = jnp.where(valid, idx, 0)
 
         def get_plane(c):
@@ -504,7 +504,7 @@ def filter_hits_sampled_grouped(
             return jnp.take(wc_flat, widx)
 
         h_s = _prefix_hash_select(
-            get_plane, lw, stride, prefix_len, c_min, c_max
+            get_plane, lw, stride, prefix_len, c_min
         )
         ok = None
         for salt in prefix_salts:

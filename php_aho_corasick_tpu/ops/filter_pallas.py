@@ -229,15 +229,27 @@ def _flat_shift_neg(X, prev_rows, d, is_first, interpret):
 
 
 def _window_offsets(spc: int, l16: int):
-    """Word-offset range (relative to a cell's first word) covering every
-    candidate window ``[p - (s-1), p + l16)`` of the cell at byte
-    ``p``."""
+    """First word offset (relative to a cell's first word) covering the
+    candidate windows ``[p - (s-1), p + l16)`` of the cell at byte ``p``
+    (negative: windows of non-zero alignment start before the cell).
+    The upper word bound is implicit in the byte offsets
+    :func:`_prefix_hash_select` actually requests."""
     s = 4 * spc
-    c_min = -(-(s - 1) // 4)
-    return -c_min, (l16 - 1) // 4
+    return -((s - 1 + 3) // 4)
 
 
-def _prefix_hash_select(get_plane, w, s, l16, c_min, c_max):
+def _align_bit_i32(j: int) -> int:
+    """Two's-complement int32 value of alignment bit ``1 << j`` — what
+    ``low = w & -w`` evaluates to in int32 when bit ``j`` is the lowest
+    set bit.  For ``j == 31`` (stride 32) the Python literal ``1 << 31``
+    overflows int32 at trace time and, even promoted, would never equal
+    the INT32_MIN the lowest-set-bit trick produces — both bugs the
+    round-4 advisor flagged (ADVICE.md high)."""
+    v = 1 << j
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _prefix_hash_select(get_plane, w, s, l16, c_min):
     """Rolling prefix-hash of every cell's single-alignment candidate.
 
     For each cell at byte ``p`` with coarse word ``w``, the candidate
@@ -272,11 +284,11 @@ def _prefix_hash_select(get_plane, w, s, l16, c_min, c_max):
     H = jnp.zeros(w.shape, jnp.uint32)
     for i in range(l16):
         H = H + b(off + i) * jnp.uint32(pow(GRAM_BASE, l16 - 1 - i, 1 << 32))
-    h = jnp.where(low == (1 << (s - 1)), H.astype(jnp.int32), 0)
+    h = jnp.where(low == _align_bit_i32(s - 1), H.astype(jnp.int32), 0)
     for j in range(s - 2, -1, -1):
         H = (H - b(off) * KL) * K + b(off + l16)
         off += 1
-        h = jnp.where(low == (1 << j), H.astype(jnp.int32), h)
+        h = jnp.where(low == _align_bit_i32(j), H.astype(jnp.int32), h)
     return h
 
 
@@ -358,10 +370,8 @@ def _fused_kernel(
     sw = sw_ref[...] if has_shorts else jnp.zeros_like(w)
 
     if prefix_on:
-        c_min, c_max = _window_offsets(spc, l16)
-        hval = _prefix_hash_select(
-            get_plane, w, 4 * spc, l16, c_min, c_max
-        )
+        c_min = _window_offsets(spc, l16)
+        hval = _prefix_hash_select(get_plane, w, 4 * spc, l16, c_min)
     else:
         hval = code  # callers fall back to the q-gram fine re-probe
 
@@ -460,10 +470,8 @@ def _fused_extract_xla(
     w = jnp.where(mll[0, 0] > 0, w, 0)
     sw = sw_g.reshape(-1) if sw_g is not None else jnp.zeros_like(w)
     if prefix_on:
-        c_min, c_max = _window_offsets(spc, l16)
-        hval = _prefix_hash_select(
-            get_plane, w, 4 * spc, l16, c_min, c_max
-        )
+        c_min = _window_offsets(spc, l16)
+        hval = _prefix_hash_select(get_plane, w, 4 * spc, l16, c_min)
     else:
         hval = code
     return group_rank_extract(w, sw, hval, block_r, mpr, n_blocks, n_grid)

@@ -58,12 +58,21 @@ def pack_documents(
     chunk_len: int,
     halo: int,
     batch_pad: int = 8,
+    row_align: int = ROW_ALIGN,
 ) -> PackedRows:
     """Cut documents into halo-overlapped rows and pad to a fixed shape.
 
     Vectorized: one corpus concatenation + one fancy-gather builds the
     whole ``[B, L]`` batch (the python loop is per *document*, not per
-    row/byte)."""
+    row/byte).
+
+    ``row_align``: the packed row length ``L`` is rounded up to this
+    (>= ROW_ALIGN, and forced to a multiple of it).  The sampled
+    cascade's fused/grouped fast paths gate on ``stride | L``, and
+    rounding only the *chunk* length cannot guarantee that once the
+    halo and the 128-byte tile alignment are added — callers pass
+    ``lcm(stride, 128)`` so the gate holds for every corpus shape
+    (round-4 ADVICE.md low #2)."""
     meta: List[Tuple[int, int, int, int]] = []  # (doc, off, emit_from, len)
     doc_off: List[int] = []  # corpus offset of each row's doc
     pos = 0
@@ -84,7 +93,8 @@ def pack_documents(
         pos += n
 
     B = max(_round_up(max(len(meta), 1), batch_pad), batch_pad)
-    L = _round_up(max((m[3] for m in meta), default=1), ROW_ALIGN)
+    align = _round_up(max(row_align, ROW_ALIGN), ROW_ALIGN)
+    L = _round_up(max((m[3] for m in meta), default=1), align)
     if B * L >= 2**31:
         raise ValueError(
             f"scan batch too large ({B} rows x {L} bytes overflows int32 "

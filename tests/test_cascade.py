@@ -921,3 +921,36 @@ def test_sampled_vmem_sharded_parity():
         assert [(r["pos"], r["keyIdx"]) for r in recs] == brute_force(
             patterns, doc
         )
+
+
+# --------------------------------------------- stride-32 prefix refinement
+
+def test_stride32_long_patterns_prefix_refinement():
+    """Pattern sets with min length >= 47 drive the planner to stride 32
+    (q=16), whose alignment-31 bit is INT32_MIN under the lowest-set-bit
+    trick — the round-4 advisor's int32-overflow repro (ADVICE.md high:
+    ``1 << 31`` overflowed at trace time on the grouped take path, and a
+    promoted compare would have dropped alignment-31 candidates).  Plants
+    occurrences at EVERY in-row offset so all 32 alignments, including
+    bit 31, are exercised end to end."""
+    rng = random.Random(7)
+    alphabet = b"abcdef"
+    patterns = [
+        bytes(rng.choice(alphabet) for _ in range(rng.randint(47, 64)))
+        for _ in range(12)
+    ]
+    patterns = list(dict.fromkeys(patterns))
+    text = bytearray(rng.choice(alphabet) for _ in range(8192))
+    for off in range(64):  # all alignments j = p - t in [0, 32)
+        p = patterns[off % len(patterns)]
+        pos = off * 120 + off
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     cascade_mode="sampled", chunk_len=1024)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)],
+                cfg)
+    cm = m.cascade_model
+    assert cm is not None and cm.plan.stride == 32, cm.plan.reason
+    got = [(r["pos"], r["keyIdx"]) for r in m.match(text)]
+    assert got == brute_force(patterns, text)
