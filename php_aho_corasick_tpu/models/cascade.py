@@ -505,12 +505,14 @@ class CascadeModel:
         config: ScanConfig,
         dense_model=None,  # DenseDfaModel: shares its device table for
         # the window-verify kernel instead of uploading a second copy
+        stats=None,  # utils.logging.ScanStats: capacity-retry counters
     ) -> None:
         assert plan.eligible
         self.auto = auto
         self.plan = plan
         self.config = config
         self.dense_model = dense_model
+        self.stats = stats
         self._dev = None
         #: adaptive capacities for the speculative A->B launch chain
         #: (learned from each launch's observed counts; may shrink)
@@ -729,7 +731,8 @@ class CascadeModel:
         return impl
 
     def scan_hits_sampled(
-        self, chunks, lengths, capacity: int, cap_coarse: Optional[int] = None
+        self, chunks, lengths, capacity: int,
+        cap_coarse: Optional[int] = None, phase_g=None,
     ):
         """One launch of the grid-domain sampled filter.  Returns
         ``(grid_idx, long_word, short_word, n_hits, n_coarse)``.  The
@@ -771,6 +774,7 @@ class CascadeModel:
                 prefix_log2=p.prefix_log2,
                 prefix_len=p.prefix_len,
                 interpret=jax.default_backend() != "tpu",
+                phase_g=phase_g,
             )
         L = chunks.shape[1]
         cc = cap_coarse or self._cap_coarse
@@ -875,15 +879,22 @@ class CascadeModel:
             if n <= cap_a and nf <= cap_b and nc <= self._cap_coarse:
                 break
             if n > cap_a:
+                self._count_retry("filter", n, cap_a)
                 cap_a = _next_cap(n)
             if nf > cap_b:
+                self._count_retry("verify", nf, cap_b)
                 cap_b = _next_cap(nf)
             if nc > self._cap_coarse:
+                self._count_retry("coarse", nc, self._cap_coarse)
                 self._grow_cap_coarse(nc)
         self._cap_hits = max(256, _next_cap(n + n // 4))
         self._cap_flagged = cap_b
         self._decay_cap_coarse(nc)
         return cells, nf
+
+    def _count_retry(self, stage: str, observed: int, cap: int) -> None:
+        if self.stats is not None:
+            self.stats.record_capacity_retry(stage, observed, cap)
 
     def _grow_cap_coarse(self, nc: int) -> None:
         """Grow the stage-1 slot cap after an overflow; past the 128-slot
@@ -905,7 +916,8 @@ class CascadeModel:
         if self._cap_coarse > floor and nc <= self._cap_coarse // 2:
             self._cap_coarse = max(floor, self._cap_coarse // 2)
 
-    def launch_device(self, chunks_d, lengths_d, cap_a, cap_b):
+    def launch_device(self, chunks_d, lengths_d, cap_a, cap_b,
+                      phase_g=None):
         """One speculative filter→verify chain entirely on device.
 
         Returns ``(cells, n_d, nf_d, nc_d)`` as *device* values with no
@@ -923,7 +935,7 @@ class CascadeModel:
         dd = self.dense_model.device_arrays
         dev = self.device_arrays
         idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
-            chunks_d, lengths_d, cap_a
+            chunks_d, lengths_d, cap_a, phase_g=phase_g
         )
         if not self._compressed and self.verify_kv > 1:
             cells, nf_d = verify_windows_kgram(
@@ -979,7 +991,7 @@ class CascadeModel:
         return cells, n_d, nf_d, nc_d
 
     def launch_device_records(
-        self, chunks_d, lengths_d, emit_from_d, cap_a, cap_r
+        self, chunks_d, lengths_d, emit_from_d, cap_a, cap_r, phase_g=None
     ):
         """Speculative filter→record-verify chain: like
         :meth:`launch_device` but the verify stage emits compacted
@@ -996,7 +1008,7 @@ class CascadeModel:
         dd = self.dense_model.device_arrays
         dev = self.device_arrays
         idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
-            chunks_d, lengths_d, cap_a
+            chunks_d, lengths_d, cap_a, phase_g=phase_g
         )
         if self._compressed:
             rec_cell, rec_pack, nr_d = verify_windows_records_compressed(
@@ -1128,8 +1140,11 @@ class CascadeModel:
         if self.plan.mode == "sampled" and self.device_verify_ok:
             import jax.numpy as jnp
 
+            phase_g = None
             if dev_inputs is not None:
-                chunks_d, lengths_d, emit_from_d = dev_inputs
+                chunks_d, lengths_d, emit_from_d = dev_inputs[:3]
+                if len(dev_inputs) > 3:  # resident-corpus phase cache
+                    phase_g = dev_inputs[3]
             else:
                 # one host->device upload, shared by every retry + phase B
                 chunks_d = jnp.asarray(packed.chunks)
@@ -1141,7 +1156,8 @@ class CascadeModel:
 
                 def launch_r(cap_a, cap_r):
                     rc, rp, n_d, nr_d, nc_d = self.launch_device_records(
-                        chunks_d, lengths_d, emit_from_d, cap_a, cap_r
+                        chunks_d, lengths_d, emit_from_d, cap_a, cap_r,
+                        phase_g=phase_g,
                     )
                     n, nr, nc = map(
                         int, np.asarray(jnp.stack([n_d, nr_d, nc_d]))
@@ -1158,7 +1174,7 @@ class CascadeModel:
 
             def launch(cap_a, cap_b):
                 cells, n_d, nf_d, nc_d = self.launch_device(
-                    chunks_d, lengths_d, cap_a, cap_b
+                    chunks_d, lengths_d, cap_a, cap_b, phase_g=phase_g
                 )
                 n, nf, nc = map(
                     int, np.asarray(jnp.stack([n_d, nf_d, nc_d]))
@@ -1276,8 +1292,10 @@ class CascadeModel:
                 if n <= capacity and nc <= self._cap_coarse:
                     break
                 if n > capacity:
+                    self._count_retry("filter", n, capacity)
                     capacity = _next_cap(n)
                 if nc > self._cap_coarse:
+                    self._count_retry("coarse", nc, self._cap_coarse)
                     self._grow_cap_coarse(nc)
             self._decay_cap_coarse(nc)
             return self.expand_hits(

@@ -318,6 +318,43 @@ def filter_hits_sampled(
 FUSED_BLOCK_R = 1024
 
 
+@functools.partial(jax.jit, static_argnames=("spc", "block_r"))
+def fused_phase_grid(
+    chunks: jax.Array,  # [B, L] uint8, (4*spc) | L
+    spc: int,  # corpus words per grid cell (stride // 4)
+    block_r: int = FUSED_BLOCK_R,
+) -> Tuple[jax.Array, ...]:
+    """Corpus word phases in the fused kernel's padded grid layout — the
+    word pack + phase split + grid padding that
+    :func:`filter_hits_sampled_vmem` otherwise re-runs per launch.
+    These are corpus-wide XLA passes (~6.8 ms of the 19.2 ms round-5
+    headline pass, benchmarks/probe_stage_budget.py), so resident-corpus
+    callers compute them ONCE per ``DeviceCorpus`` and thread the result
+    through ``phase_g`` (api.DeviceCorpus.fused_phases)."""
+    B, L = chunks.shape
+    stride = 4 * spc
+    assert L % stride == 0, "phase grid requires stride | L"
+    M = L // stride
+    wc = None
+    for k in range(4):
+        part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
+        wc = part if wc is None else (wc | part)
+    wc = jax.lax.bitcast_convert_type(wc, jnp.int32)
+    phases = [wc[:, p::spc] for p in range(spc)]
+    n_grid = B * M
+    R = -(-n_grid // 128)
+    n_blocks = max(1, -(-R // block_r))
+    R_pad = n_blocks * block_r
+
+    def to_grid(x):
+        xf = x.reshape(-1)
+        padn = (R_pad + 8) * 128 - xf.shape[0]
+        xf = jnp.concatenate([xf, jnp.zeros((padn,), xf.dtype)])
+        return xf.reshape(R_pad + 8, 128)
+
+    return tuple(to_grid(p) for p in phases)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -570,6 +607,7 @@ def filter_hits_sampled_vmem(
     prefix_log2: int = 0,
     prefix_len: int = 0,
     interpret: bool = False,
+    phase_g=None,  # precomputed fused_phase_grid output (resident corpus)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Strided-sampled two-stage VMEM filter — fused-kernel edition.
 
@@ -622,16 +660,7 @@ def filter_hits_sampled_vmem(
         if shorts
         else None
     )
-    # corpus packed as int32 words via 4 strided lane slices, then split
-    # into the spc per-cell word phases the kernel consumes
-    wc = None
-    for k in range(4):
-        part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
-        wc = part if wc is None else (wc | part)
-    wc = jax.lax.bitcast_convert_type(wc, jnp.int32)
     spc = stride // 4
-    phases = [wc[:, p::spc] for p in range(spc)]
-
     block_r = FUSED_BLOCK_R
     n_grid = B * M
     R = -(-n_grid // 128)
@@ -644,7 +673,11 @@ def filter_hits_sampled_vmem(
         xf = jnp.concatenate([xf, jnp.zeros((padn,), xf.dtype)])
         return xf.reshape(R_pad + extra, 128)
 
-    phase_g = tuple(to_grid(p, 8) for p in phases)
+    if phase_g is None:
+        # corpus packed as int32 words via 4 strided lane slices, then
+        # split into the spc per-cell word phases the kernel consumes —
+        # resident-corpus callers precompute this once (fused_phase_grid)
+        phase_g = fused_phase_grid(chunks, spc=spc, block_r=block_r)
     sw_g = to_grid(sw, 0) if sw is not None else None
     mll = jnp.asarray(min_long_len, jnp.int32).reshape(1, 1)
     mpr = min(128, max(8, -(-cap_coarse // 8) * 8))

@@ -105,3 +105,88 @@ def test_seed_caps_shard_scaled():
     cm2.seed_caps(100_000, 100_000)
     assert sharded_cap < cm2._cap_hits
     assert sharded_cap >= base_hits  # never shrinks below prior learning
+
+
+# --------------------------------------------- sharded records fast path
+
+def _records_workload(seed=17):
+    rng = random.Random(seed)
+    patterns = list({
+        bytes(rng.choice(b"abcdef") for _ in range(16)) for _ in range(300)
+    })
+    docs = []
+    for _ in range(10):
+        d = bytearray(rng.choice(b"abcdef") for _ in range(4000))
+        for _ in range(5):
+            p = rng.choice(patterns)
+            pos = rng.randrange(0, len(d) - len(p))
+            d[pos : pos + len(p)] = p
+        docs.append(bytes(d))
+    return patterns, docs
+
+
+def test_sharded_records_parity():
+    """The multi-chip records chain (parallel/shard_scan.
+    sharded_sampled_records, VERDICT r4 #2) must equal the single-device
+    records path exactly, through the public upload-per-call API."""
+    patterns, docs = _records_workload()
+    pats = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    cfg_on = ScanConfig(backend="device", engine="cascade",
+                        auto_shard=True, chunk_len=512)
+    cfg_off = ScanConfig(backend="device", engine="cascade",
+                         auto_shard=False, chunk_len=512)
+    m_on = Matcher(pats, cfg_on)
+    m_off = Matcher(pats, cfg_off)
+    cm = m_on.cascade_model
+    assert cm is not None and cm.records_ok, cm.plan.reason
+    got = m_on.match_arrays(docs)
+    expect = m_off.match_arrays(docs)
+    for k in ("doc", "pos", "start_postion", "pattern"):
+        np.testing.assert_array_equal(got[k], expect[k])
+
+
+def test_sharded_device_corpus_records_batch():
+    """Mesh-sharded DeviceCorpus handles through match_arrays_many: the
+    pipelined per-shard record chains must equal the unsharded scan,
+    including the overflow-retry path (tiny speculative caps)."""
+    patterns, docs = _records_workload(seed=23)
+    pats = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    m = Matcher(pats, ScanConfig(backend="device", engine="cascade",
+                                 auto_shard=True, chunk_len=512))
+    expect = Matcher(
+        pats, ScanConfig(backend="device", engine="cascade",
+                         auto_shard=False, chunk_len=512)
+    ).match_arrays(docs)
+    h = m.device_corpus(docs)
+    assert h.mesh is not None, "auto_shard handle should be mesh-sharded"
+    got = m.match_arrays(h)
+    for k in ("doc", "pos", "start_postion", "pattern"):
+        np.testing.assert_array_equal(got[k], expect[k])
+    # pipelined batch, with caps forced tiny so the retry path runs
+    cm = m.cascade_model
+    cm._cap_hits = 256
+    cm._cap_flagged = 256
+    got2 = m.match_arrays_many([h, h])
+    for g in got2:
+        for k in ("doc", "pos", "start_postion", "pattern"):
+            np.testing.assert_array_equal(g[k], expect[k])
+
+
+def test_sharded_records_compressed():
+    """Compressed-table sharded records (signature-style sets whose
+    dense table would exceed HBM) stay exact on the mesh."""
+    patterns, docs = _records_workload(seed=29)
+    pats = [{"id": i, "value": p} for i, p in enumerate(patterns)]
+    cfg_on = ScanConfig(backend="device", engine="cascade",
+                        auto_shard=True, chunk_len=512,
+                        table_format="compressed")
+    m_on = Matcher(pats, cfg_on)
+    cm = m_on.cascade_model
+    assert cm is not None and cm._compressed and cm.records_ok
+    got = m_on.match_arrays(docs)
+    expect = Matcher(
+        pats, ScanConfig(backend="device", engine="cascade",
+                         auto_shard=False, chunk_len=512)
+    ).match_arrays(docs)
+    for k in ("doc", "pos", "start_postion", "pattern"):
+        np.testing.assert_array_equal(got[k], expect[k])
