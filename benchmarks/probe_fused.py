@@ -68,27 +68,41 @@ def main():
         salts=salts, log2_rows=log2_rows, pack=pack, q=q, spc=spc,
         mpr=16, block_r=FUSED_BLOCK_R, n_grid=n_grid,
     )
-    t0 = time.time()
-    got_hw = fused_sampled_extract(
-        table, phase_g, None, mll, interpret=not on_tpu,
-        force_pallas=not on_tpu, **kw
+    # two parity configs: plain, and the full production shape (prefix
+    # hash + in-kernel slot refinement against a small VMEM bit bloom)
+    pb_rows = 8  # 2^15-bit prefix bloom
+    pb = jnp.asarray(
+        rng.integers(-(2**31), 2**31, (pb_rows, 128), dtype=np.int64)
+        .astype(np.int32)
     )
-    got_hw = [fetch(x) for x in got_hw]
-    print(f"kernel compile+run: {time.time() - t0:.1f}s")
-    got_x = fused_sampled_extract(
-        table, phase_g, None, mll, interpret=True, **kw
-    )
-    got_x = [fetch(x) for x in got_x]
-    names = ["r_s", "w_s", "swo_s", "c_s", "cnt"]
-    for name, a, b in zip(names, got_hw, got_x):
-        if not np.array_equal(a, b):
-            bad = np.argwhere(a != b)
-            print(f"PARITY FAIL {name}: {bad.shape[0]} mismatches; "
-                  f"first {bad[:5].tolist()}")
-            print("hw:", a[tuple(bad[0])], "xla:", b[tuple(bad[0])])
-            return 1
-    print(f"PARITY OK on {jax.default_backend()} "
-          f"(survivors={int(got_hw[4].sum())})")
+    for label, extra in (
+        ("plain", {}),
+        ("prefix+refine", dict(
+            l16=16, prefix_on=True, prefix_table=pb,
+            prefix_salts=(0x7F4A7C15, 0x94D049BB), prefix_log2=15,
+        )),
+    ):
+        t0 = time.time()
+        got_hw = fused_sampled_extract(
+            table, phase_g, None, mll, interpret=not on_tpu,
+            force_pallas=not on_tpu, **kw, **extra
+        )
+        got_hw = [fetch(x) for x in got_hw]
+        print(f"[{label}] kernel compile+run: {time.time() - t0:.1f}s")
+        got_x = fused_sampled_extract(
+            table, phase_g, None, mll, interpret=True, **kw, **extra
+        )
+        got_x = [fetch(x) for x in got_x]
+        names = ["r_s", "w_s", "swo_s", "c_s", "cnt"]
+        for name, a, b in zip(names, got_hw, got_x):
+            if not np.array_equal(a, b):
+                bad = np.argwhere(a != b)
+                print(f"PARITY FAIL [{label}] {name}: {bad.shape[0]} "
+                      f"mismatches; first {bad[:5].tolist()}")
+                print("hw:", a[tuple(bad[0])], "xla:", b[tuple(bad[0])])
+                return 1
+        print(f"PARITY OK [{label}] on {jax.default_backend()} "
+              f"(survivors={int(got_hw[4].sum())})")
 
     # ---- 2. headline-shape timing, pipelined (8 launches, 1 fetch)
     # 128 MiB corpus at stride 8 => 16.8M cells => 128 blocks

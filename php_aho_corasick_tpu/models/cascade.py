@@ -263,12 +263,14 @@ def _plan_vmem_bloom(
     salts = tuple((0x9E3779B9 * (2 * i + 1)) & 0xFFFFFFFF for i in range(k))
     n_banks = N // 128
     words = np.zeros((k * n_banks, 128), dtype=np.uint32)
+    from .. import native
+
     bits = np.uint32(1) << aligns.astype(np.uint32)
     for p, salt in enumerate(salts):
         h = (codes ^ np.uint32(salt)) * np.uint32(KNUTH)
         rows = (h >> np.uint32(32 - log2_rows)).astype(np.int64)
         flat = words.reshape(-1)
-        np.bitwise_or.at(flat, p * N + rows, bits)
+        native.scatter_or(flat, p * N + rows, bits)
     # subword bank packing: a positional word only uses ``stride``
     # alignment bits, so up to 32/stride banks share one physical int32
     # row — the kernel's bank-select loop (its cost = physical rows)
@@ -295,28 +297,47 @@ def _plan_prefix_bloom(longs: Sequence[bytes], min_long: int) -> dict:
     entry per distinct ``prefix_len``-byte pattern prefix, hashed by the
     device's rolling polynomial (ops/filter_pallas._prefix_hash_select).
     Sized for <= ~1/512 fill per salt; a second salt squares the fill
-    when the entry count forces a large table."""
+    when the entry count forces a large table.  Vectorized per length
+    group + native scatter (the per-byte Python loop cost 2.4 s at 1M
+    patterns — round-5 build profile)."""
+    from .. import native
     from ..ops.filter_jax import GRAM_BASE, KNUTH
 
     l16 = min(min_long, 16)
-    hashes = set()
+    by_len: dict = {}
     for p in longs:
-        h = 0
-        for byte in p[:l16]:
-            h = (h * GRAM_BASE + byte) & 0xFFFFFFFF
-        hashes.add(h)
-    n = max(len(hashes), 1)
-    log2_p = min(max(int(np.ceil(np.log2(n))) + 9, 14), 26)
-    fill = n / (1 << log2_p)
-    salts = (0x7F4A7C15, 0x94D049BB)[: (1 if fill <= 1 / 256 else 2)]
+        by_len.setdefault(len(p), []).append(p)
+    parts = []
+    for n_, ps in sorted(by_len.items()):
+        arr = np.frombuffer(b"".join(ps), np.uint8).reshape(len(ps), n_)
+        u = arr[:, :l16].astype(np.uint32)
+        h = np.zeros(len(ps), np.uint32)
+        for j in range(l16):
+            h = h * np.uint32(GRAM_BASE) + u[:, j]
+        parts.append(h)
+    hs = (
+        np.unique(np.concatenate(parts))
+        if parts
+        else np.zeros(0, np.uint32)
+    )
+    n = max(hs.shape[0], 1)
+    if n <= 8192:
+        # small sets: size for ~1/16 fill per salt and probe TWO salts
+        # (joint 1/256) — the table then fits <= 32 [*, 128] VMEM rows,
+        # which lets the fused kernel refine its extracted slots
+        # in-kernel instead of a 131k-slot XLA gather pass (round-5
+        # stage budget: stage-2a was ~1-3 ms of the 16 ms headline pass)
+        log2_p = max(int(np.ceil(np.log2(n))) + 4, 14)
+        salts = (0x7F4A7C15, 0x94D049BB)
+    else:
+        log2_p = min(max(int(np.ceil(np.log2(n))) + 9, 14), 26)
+        fill = n / (1 << log2_p)
+        salts = (0x7F4A7C15, 0x94D049BB)[: (1 if fill <= 1 / 256 else 2)]
     words = np.zeros((1 << log2_p) // 32, dtype=np.uint32)
-    hs = np.fromiter(hashes, np.uint32, len(hashes))
     for salt in salts:
         hh = (hs ^ np.uint32(salt)) * np.uint32(KNUTH)
         slots = (hh >> np.uint32(32 - log2_p)).astype(np.int64)
-        np.bitwise_or.at(
-            words, slots >> 5, np.uint32(1) << (slots & 31).astype(np.uint32)
-        )
+        native.scatter_or_bit(words, slots)
     return dict(
         words=words.view(np.int32), salts=salts, log2=log2_p, len=l16
     )
@@ -391,13 +412,15 @@ def plan_cascade(
             q, s = choice["q"], choice["stride"]
             log2_w = choice["log2_words"]
             salts = (0x85EBCA6B, 0xC2B2AE35)[: choice["n_probes"]]
+            from .. import native
+
             codes, aligns = _alignment_gram_codes(longs, q, s)
             bits = np.uint32(1) << aligns.astype(np.uint32)
             words = np.zeros(1 << log2_w, dtype=np.uint32)
             for salt in salts:
                 h = (codes ^ np.uint32(salt)) * np.uint32(KNUTH)
                 widx = (h >> np.uint32(32 - log2_w)).astype(np.int64)
-                np.bitwise_or.at(words, widx, bits)
+                native.scatter_or(words, widx, bits)
             # exact candidate-density estimate from the built filter
             n_distinct = np.unique(codes).shape[0]
             _, hit_rate = _sampled_cost(
@@ -421,7 +444,7 @@ def plan_cascade(
                     w2 = np.zeros(1 << log2_w, dtype=np.uint32)
                     h2 = (codes2 ^ np.uint32(SALT2)) * np.uint32(KNUTH)
                     widx2 = (h2 >> np.uint32(32 - log2_w)).astype(np.int64)
-                    np.bitwise_or.at(w2, widx2, bits)
+                    native.scatter_or(w2, widx2, bits)
                     words2 = w2.view(np.int32)
                 return CascadePlan(
                     True,
@@ -1001,12 +1024,62 @@ class CascadeModel:
         cost scales with the match count.  Returns ``(rec_cell,
         rec_pack, n_d, nr_d, nc_d)`` device values (no host fetch)."""
         from ..ops.filter_jax import (
+            records_chain_vmem,
             verify_windows_records,
             verify_windows_records_compressed,
         )
 
         dd = self.dense_model.device_arrays
         dev = self.device_arrays
+        if self.bloom_impl() == "pallas_vmem":
+            # single-jit composite: the filter + record-verify graphs
+            # inline into one executable (the two-dispatch boundary cost
+            # ~3-5 ms of launch overhead on slot-sized data — see
+            # records_chain_vmem)
+            import jax
+            import jax.numpy as jnp
+
+            p = self.plan
+            dummy = jnp.zeros((1,), jnp.int32)
+            comp = self._compressed
+            return records_chain_vmem(
+                dev["vmem_table"],
+                dev["sampled_words"],
+                dev.get("prefix_words", dummy),
+                dd["dense_flat"] if comp else dd["table_flat"],
+                dd["meta"] if comp else dummy,
+                dd["exc_target"] if comp else dummy,
+                dev["byte_class"],
+                dev["used_bytes"],
+                jnp.asarray(chunks_d),
+                jnp.asarray(lengths_d),
+                jnp.asarray(emit_from_d),
+                dev["min_long_len"],
+                dd["dense_final_start"] if comp else dummy,
+                dd["final_start"],
+                phase_g,
+                q=p.q,
+                stride=p.stride,
+                log2_rows=p.vmem_log2_rows,
+                salts=p.vmem_salts,
+                pack=p.vmem_pack,
+                log2_words=p.log2_words,
+                fine_salts=p.sampled_salts,
+                shorts=p.shorts,
+                cap_a=cap_a,
+                cap_coarse=self._cap_coarse,
+                prefix_salts=(
+                    p.prefix_salts if "prefix_words" in dev else ()
+                ),
+                prefix_log2=p.prefix_log2,
+                prefix_len=p.prefix_len,
+                n_classes=self.auto.n_classes,
+                n_dense=self.auto.n_dense if comp else 0,
+                win_len=self.win_len,
+                cap_r=cap_r,
+                compressed=comp,
+                interpret=jax.default_backend() != "tpu",
+            )
         idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
             chunks_d, lengths_d, cap_a, phase_g=phase_g
         )

@@ -681,15 +681,28 @@ def filter_hits_sampled_vmem(
     sw_g = to_grid(sw, 0) if sw is not None else None
     mll = jnp.asarray(min_long_len, jnp.int32).reshape(1, 1)
     mpr = min(128, max(8, -(-cap_coarse // 8) * 8))
+    # small prefix blooms (<= 32 [*, 128] rows, i.e. <= 2^17 bits) are
+    # probed IN-KERNEL on the extracted slot tile — the separate XLA
+    # stage-2a pass over every (mostly empty) slot cost ~1-3 ms of the
+    # round-5 headline pass (benchmarks/probe_stage_budget.py)
+    pb_rows = (1 << prefix_log2) // 32 // 128 if prefix_on else 0
+    inkernel_refine = bool(prefix_on) and 0 < pb_rows <= 32
     r_s, w_s, swo_s, h_s, cnt = fused_sampled_extract(
         table, phase_g, sw_g, mll,
         salts=salts, log2_rows=log2_rows, pack=pack, q=q, spc=spc,
         mpr=mpr, block_r=block_r, n_grid=n_grid,
         l16=prefix_len if prefix_on else 0, prefix_on=bool(prefix_on),
+        prefix_table=(
+            prefix_words.reshape(pb_rows, 128) if inkernel_refine else None
+        ),
+        prefix_salts=tuple(prefix_salts) if inkernel_refine else (),
+        prefix_log2=prefix_log2 if inkernel_refine else 0,
         interpret=interpret,
     )
 
-    if prefix_on:
+    if inkernel_refine:
+        long_ok = w_s != 0  # refinement already applied in-kernel
+    elif prefix_on:
         # stage 2a: one prefix-bloom bit probe per single-alignment slot
         ok = None
         for salt in prefix_salts:
@@ -1207,6 +1220,90 @@ def verify_windows_records_compressed(
     rec_cell = jnp.where(valid, cells, INT32_MAX)
     rec_pack = jnp.where(valid, jnp.take(pk, safe), 0)
     return rec_cell, rec_pack, n_rec
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "q", "stride", "log2_rows", "salts", "pack", "log2_words",
+        "fine_salts", "shorts", "cap_a", "cap_coarse", "prefix_salts",
+        "prefix_log2", "prefix_len", "n_classes", "n_dense", "win_len",
+        "cap_r", "compressed", "interpret",
+    ),
+)
+def records_chain_vmem(
+    vmem_table,
+    words,
+    prefix_words,
+    table_flat,  # dense [S*C], or dense-bank rows when compressed
+    meta,  # compressed only (dummy otherwise)
+    exc_target,  # compressed only (dummy otherwise)
+    byte_class,
+    used_bytes,
+    chunks,
+    lengths,
+    emit_from,
+    min_long_len,
+    dense_final_start,  # compressed only (dummy otherwise)
+    final_start,
+    phase_g,  # tuple from fused_phase_grid, or None
+    *,
+    q: int,
+    stride: int,
+    log2_rows: int,
+    salts: Tuple[int, ...],
+    pack: int,
+    log2_words: int,
+    fine_salts: Tuple[int, ...],
+    shorts: Tuple[bytes, ...],
+    cap_a: int,
+    cap_coarse: int,
+    prefix_salts: Tuple[int, ...],
+    prefix_log2: int,
+    prefix_len: int,
+    n_classes: int,
+    n_dense: int,
+    win_len: int,
+    cap_r: int,
+    compressed: bool,
+    interpret: bool,
+) -> Tuple[jax.Array, ...]:
+    """VMEM filter + record verification inlined into ONE jit graph.
+
+    ``launch_device_records`` used to dispatch
+    :func:`filter_hits_sampled_vmem` and :func:`verify_windows_records`
+    as two separate jit executables; per-executable launch overhead and
+    the un-fusable boundary between them cost ~2-3 ms of the 16 ms
+    round-5 headline pass (benchmarks/probe_stage_budget.py: stage2a +
+    compact 3.2 ms, verify 2.0 ms — both over only ~131k slot / 256
+    window elements, i.e. dominated by overhead, not work).  Inlining
+    both (their ``jax.jit`` wrappers collapse when traced inside this
+    one) gives XLA one schedule.  Returns ``(rec_cell, rec_pack, n_hits,
+    n_rec, n_coarse)`` exactly like the two-dispatch path."""
+    idx, _lw, _sw, n, nc = filter_hits_sampled_vmem(
+        vmem_table, words, chunks, lengths, min_long_len,
+        q=q, stride=stride, log2_rows=log2_rows, salts=salts, pack=pack,
+        log2_words=log2_words, fine_salts=fine_salts, shorts=shorts,
+        capacity=cap_a, cap_coarse=cap_coarse,
+        prefix_words=prefix_words if prefix_salts else None,
+        prefix_salts=prefix_salts, prefix_log2=prefix_log2,
+        prefix_len=prefix_len, interpret=interpret, phase_g=phase_g,
+    )
+    if compressed:
+        rc, rp, nr = verify_windows_records_compressed(
+            table_flat, meta, exc_target, byte_class, used_bytes, chunks,
+            lengths, emit_from, idx, dense_final_start, final_start,
+            n_classes=n_classes, n_dense=n_dense, stride=stride,
+            win_len=win_len, capacity=cap_r, n_hits=cap_a,
+        )
+    else:
+        rc, rp, nr = verify_windows_records(
+            table_flat, byte_class, used_bytes, chunks, lengths,
+            emit_from, idx, final_start,
+            n_classes=n_classes, stride=stride, win_len=win_len,
+            capacity=cap_r, n_hits=cap_a,
+        )
+    return rc, rp, n, nr, nc
 
 
 @functools.partial(

@@ -292,9 +292,49 @@ def _prefix_hash_select(get_plane, w, s, l16, c_min):
     return h
 
 
+def _prefix_slot_probe(pb_ref, h, prefix_salts, prefix_log2, pb_rows):
+    """Block-wide prefix-bit-bloom probe of the extracted slot hashes:
+    AND over ``prefix_salts`` of bit ``slot & 31`` of word ``slot >> 5``
+    fetched by the bank-select chain over the ``[pb_rows, 128]`` VMEM
+    table.  ``h`` is any ``[R, 128]`` block (the slot tile)."""
+    R = h.shape[0]
+    ok = None
+    for salt in prefix_salts:
+        hh = (h.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(KNUTH)
+        slot = (hh >> jnp.uint32(32 - prefix_log2)).astype(jnp.int32)
+        word_i = slot >> 5
+        lane = word_i & 127
+        brow = word_i >> 7
+
+        def bank_body(b, acc, lane=lane, brow=brow):
+            row = jnp.broadcast_to(pb_ref[pl.ds(b, 1), :], (R, 128))
+            g = jnp.take_along_axis(row, lane, axis=1)
+            return jnp.where(brow == b, g, acc)
+
+        word = jax.lax.fori_loop(
+            0, pb_rows, bank_body, jnp.zeros((R, 128), jnp.int32)
+        )
+        bit = (word >> (slot & 31)) & 1
+        ok = bit if ok is None else (ok & bit)
+    return ok
+
+
+def prefix_refine_words(w, hval, ok, stride):
+    """Shared single-alignment refinement rule: zero the long word of a
+    slot whose single coarse alignment bit failed the prefix probe;
+    multi-bit slots pass unrefined (exactness never rests on a bloom).
+    Pure elementwise — used both in-kernel and by the XLA mirrors."""
+    smask = (1 << stride) - 1 if stride < 32 else -1
+    v = w & smask
+    single = (v != 0) & ((v & (v - 1)) == 0)
+    keep = (jnp.logical_not(single)) | (ok == 1)
+    return jnp.where(keep, w, 0)
+
+
 def _fused_kernel(
     salts, log2_rows, n_banks, pack, q, spc, mpr, block_r, n_grid, l16,
-    prefix_on, gram_weights, has_shorts, interpret, *refs
+    prefix_on, gram_weights, has_shorts, interpret, prefix_salts,
+    prefix_log2, pb_rows, *refs
 ):
     """One grid step of the fused sampled filter (the whole round-4
     headline chain, docs/PERF_NOTES.md):
@@ -334,6 +374,8 @@ def _fused_kernel(
     pos += spc if prefix_on else 0
     sw_ref = refs[pos] if has_shorts else None
     pos += 1 if has_shorts else 0
+    pb_ref = refs[pos] if pb_rows else None
+    pos += 1 if pb_rows else 0
     mll_ref = refs[pos]
     r_ref, w_ref, swo_ref, h_ref, cnt_ref = refs[pos + 1 : pos + 6]
 
@@ -392,23 +434,40 @@ def _fused_kernel(
         sh = _roll(ranks, d, 0, interpret)
         ranks = ranks + jnp.where(row_i >= d, sh, 0)
         d *= 2
+    r_rows, w_rows, h_rows, sw_rows = [], [], [], []
     for k in range(mpr):
         sel = hit & (ranks == k + 1)  # <= one row per column
-        r_ref[k : k + 1, :] = (
+        r_rows.append(
             jnp.sum(jnp.where(sel, row_i + 1, 0), axis=0, keepdims=True)
             - 1
         )
-        w_ref[k : k + 1, :] = jnp.sum(
-            jnp.where(sel, w, 0), axis=0, keepdims=True
+        w_rows.append(
+            jnp.sum(jnp.where(sel, w, 0), axis=0, keepdims=True)
         )
-        h_ref[k : k + 1, :] = jnp.sum(
-            jnp.where(sel, hval, 0), axis=0, keepdims=True
+        h_rows.append(
+            jnp.sum(jnp.where(sel, hval, 0), axis=0, keepdims=True)
         )
         if has_shorts:
-            swo_ref[k : k + 1, :] = jnp.sum(
-                jnp.where(sel, sw, 0), axis=0, keepdims=True
+            sw_rows.append(
+                jnp.sum(jnp.where(sel, sw, 0), axis=0, keepdims=True)
             )
-    if not has_shorts:
+    w_slab = jnp.concatenate(w_rows, axis=0)  # [mpr, 128]
+    h_slab = jnp.concatenate(h_rows, axis=0)
+    if pb_rows and prefix_on:
+        # stage-2a absorbed: the extracted slot tile probes the small
+        # VMEM prefix bloom right here (the slots are already in
+        # registers; the XLA re-read cost ~1-3 ms of the round-5
+        # headline pass, benchmarks/probe_stage_budget.py)
+        ok = _prefix_slot_probe(
+            pb_ref, h_slab, prefix_salts, prefix_log2, pb_rows
+        )
+        w_slab = prefix_refine_words(w_slab, h_slab, ok, 4 * spc)
+    r_ref[...] = jnp.concatenate(r_rows, axis=0)
+    w_ref[...] = w_slab
+    h_ref[...] = h_slab
+    if has_shorts:
+        swo_ref[...] = jnp.concatenate(sw_rows, axis=0)
+    else:
         swo_ref[...] = jnp.zeros((mpr, 128), jnp.int32)
 
 
@@ -442,6 +501,7 @@ def _bank_probe_xla(table, code, salts, log2_rows, pack):
 def _fused_extract_xla(
     table, phase_g, sw_g, mll, salts, log2_rows, pack, q, spc, mpr,
     block_r, n_blocks, n_grid, l16, prefix_on, gram_weights,
+    prefix_table=None, prefix_salts=(), prefix_log2=0,
 ):
     """Exact XLA mirror of the fused kernel (same plane/grouping/slot/
     hash semantics) for CPU runs and shard_map interpret mode."""
@@ -474,7 +534,23 @@ def _fused_extract_xla(
         hval = _prefix_hash_select(get_plane, w, 4 * spc, l16, c_min)
     else:
         hval = code
-    return group_rank_extract(w, sw, hval, block_r, mpr, n_blocks, n_grid)
+    r_s, w_s, swo_s, h_s, cnt = group_rank_extract(
+        w, sw, hval, block_r, mpr, n_blocks, n_grid
+    )
+    if prefix_table is not None and prefix_on:
+        # mirror of the in-kernel slot refinement (same probed word)
+        words_flat = prefix_table.reshape(-1)
+        ok = None
+        for salt in prefix_salts:
+            hh = (h_s.astype(jnp.uint32) ^ jnp.uint32(salt)) * jnp.uint32(
+                KNUTH
+            )
+            slot = (hh >> jnp.uint32(32 - prefix_log2)).astype(jnp.int32)
+            word = jnp.take(words_flat, slot >> 5)
+            bit = (word >> (slot & 31)) & 1
+            ok = bit if ok is None else (ok & bit)
+        w_s = prefix_refine_words(w_s, h_s, ok, 4 * spc)
+    return r_s, w_s, swo_s, h_s, cnt
 
 
 def group_rank_extract(w, sw, hval, block_r, mpr, n_blocks, n_grid):
@@ -516,7 +592,8 @@ def group_rank_extract(w, sw, hval, block_r, mpr, n_blocks, n_grid):
     jax.jit,
     static_argnames=(
         "salts", "log2_rows", "pack", "q", "spc", "mpr", "block_r",
-        "n_grid", "l16", "prefix_on", "interpret", "force_pallas",
+        "n_grid", "l16", "prefix_on", "prefix_salts", "prefix_log2",
+        "interpret", "force_pallas",
     ),
 )
 def fused_sampled_extract(
@@ -534,6 +611,9 @@ def fused_sampled_extract(
     n_grid: int,  # valid cells (B * M); the rest is padding
     l16: int = 0,  # prefix-hash window bytes (min(min_long, 16))
     prefix_on: bool = False,
+    prefix_table=None,  # [pb_rows, 128] int32 small prefix bit bloom
+    prefix_salts: tuple = (),
+    prefix_log2: int = 0,
     interpret: bool = False,
     force_pallas: bool = False,
 ):
@@ -553,10 +633,13 @@ def fused_sampled_extract(
     gram_weights = tuple(
         int(pow(GRAM_BASE, q - 1 - j, 1 << 32)) for j in range(q)
     )
+    pb_rows = prefix_table.shape[0] if prefix_table is not None else 0
     if interpret and not force_pallas:
         return _fused_extract_xla(
             table, phase_g, sw_g, mll, salts, log2_rows, pack, q, spc,
             mpr, block_r, n_blocks, n_grid, l16, prefix_on, gram_weights,
+            prefix_table=prefix_table, prefix_salts=prefix_salts,
+            prefix_log2=prefix_log2,
         )
     try:
         vma = jax.typeof(phase_g[0]).vma
@@ -604,6 +687,12 @@ def fused_sampled_extract(
                          memory_space=pltpu.VMEM)
         )
         args.append(sw_g)
+    if pb_rows:
+        in_specs.append(
+            pl.BlockSpec((pb_rows, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(prefix_table)
     in_specs.append(
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     )
@@ -614,7 +703,7 @@ def fused_sampled_extract(
         functools.partial(
             _fused_kernel, salts, log2_rows, n_banks, pack, q, spc, mpr,
             block_r, n_grid, l16, prefix_on, gram_weights, has_shorts,
-            interpret,
+            interpret, prefix_salts, prefix_log2, pb_rows,
         ),
         grid=(n_blocks,),
         in_specs=in_specs,

@@ -60,6 +60,30 @@ def _as_bytes(v: Union[str, bytes]) -> bytes:
 
 def parse_pattern_spec(spec: Any) -> Pattern:
     """Validate one pattern spec (dict, or bare str/bytes meaning value)."""
+    if type(spec) is dict:
+        # fast paths for the exact common shapes (signature-scale
+        # builds feed millions of these; the general key loop below
+        # costs ~5 us/spec — round-5 build profile).  Checks are
+        # type-exact so every deviation falls through to the full
+        # reference-parity validation with identical behavior
+        # (type(True) is not int, so bool ids still reject there).
+        n = len(spec)
+        if n == 2 and "id" in spec and "value" in spec:
+            ident, value = spec["id"], spec["value"]
+            if type(ident) is int and type(value) in (bytes, str):
+                return Pattern(
+                    value=_as_bytes(value), value_orig=value, ident=ident
+                )
+        elif n == 1 and "value" in spec:
+            value = spec["value"]
+            if type(value) in (bytes, str):
+                return Pattern(value=_as_bytes(value), value_orig=value)
+        elif n == 2 and "key" in spec and "value" in spec:
+            key, value = spec["key"], spec["value"]
+            if type(key) is str and type(value) in (bytes, str):
+                return Pattern(
+                    value=_as_bytes(value), value_orig=value, key=key
+                )
     if isinstance(spec, (str, bytes, bytearray)):
         v = spec if not isinstance(spec, bytearray) else bytes(spec)
         return Pattern(value=_as_bytes(v), value_orig=v)
