@@ -133,7 +133,9 @@ def main() -> None:
     res = m.match_arrays(handle)  # warm compile + settle capacities
     m.match_arrays(handle)
     pass_matches = int(res["doc"].shape[0])
-    reps = 5
+    reps = 8  # matches probe_stage_budget methodology: the per-batch
+    # stats + record fetches (~2 tunnel round trips) amortize across
+    # the pipelined batch
     caps_before = (cm._cap_hits, cm._cap_flagged) if use_cascade else None
 
     def timed_batch():
@@ -157,6 +159,36 @@ def main() -> None:
     e2e_dt = time.time() - t0
     e2e_gbps = total_bytes / e2e_dt / 1e9
 
+    # cold-corpus decomposition (VERDICT r4 #5): what a FRESH corpus
+    # pays, split so the rig's relay artifact stops masking real costs —
+    # host packing rate, host->device upload rate, and the pipelined
+    # cold scan (pack+upload of slice k+1 overlapped with slice k's
+    # device chains via match_arrays_stream)
+    from php_aho_corasick_tpu.ops.matches import pack_documents as _packd
+
+    t0 = time.time()
+    pk = _packd(docs, m._pack_chunk_len(), m.automaton.max_len - 1,
+                row_align=m._row_align())
+    pack_dt = time.time() - t0
+    import jax.numpy as _jnp
+
+    t0 = time.time()
+    up = _jnp.asarray(pk.chunks)
+    _ = np.asarray(up[0, :1])  # force the transfer (block_until_ready
+    # does not synchronize on this backend)
+    upload_dt = time.time() - t0
+    del up
+    m.match_arrays(docs)  # warm the sliced shapes once
+    t0 = time.time()
+    m.match_arrays(docs)
+    cold_dt = time.time() - t0
+    cold = {
+        "pack_gbps": round(total_bytes / pack_dt / 1e9, 3),
+        "upload_gbps": round(total_bytes / upload_dt / 1e9, 3),
+        "cold_scan_gbps": round(total_bytes / cold_dt / 1e9, 4),
+        "engine": m.stats.last_engine,
+    }
+
     # --- match-density axis (VERDICT r1 #4 / r3 #6): rows time the FULL
     # public pipeline (device chain + record fetch + vectorized host
     # emission via match_arrays_many) on corpora with planted needles at
@@ -179,16 +211,26 @@ def main() -> None:
         if use_cascade:
             cm.seed_caps(2 * n_plant, 2 * n_plant)
         hd = m.device_corpus([bytes(d) for d in planted_docs])
+        retries0 = m.stats.capacity_retries
         res_d = m.match_arrays(hd)  # warm + settle caps
         m.match_arrays(hd)
+        # cold-convergence observability (VERDICT r4 weak #6/#7): how
+        # many capacity-retry recompiles the seeded first scan paid
+        cold_retries = m.stats.capacity_retries - retries0
         dreps = 8  # the per-batch scalar+record fetches (~50 ms of
         # tunnel latency) amortize across the pipelined batch
-        m.match_arrays_many([hd] * dreps)  # warm the batch structure
+        nbatch = 3
+        batches = [[hd] * dreps for _ in range(nbatch)]
+        # steady-state serving methodology (round 5): stream batches so
+        # batch k+1's device chains run WHILE batch k's records expand
+        # on the host (match_arrays_stream) — at match-dense loads host
+        # emission is otherwise a serial third of every pass
+        list(m.match_arrays_stream(batches))  # warm the batch structure
         dtimes = []
         for _ in range(3):
             t0 = time.time()
-            m.match_arrays_many([hd] * dreps)
-            dtimes.append((time.time() - t0) / dreps)
+            list(m.match_arrays_stream(batches))
+            dtimes.append((time.time() - t0) / (dreps * nbatch))
         dtimes.sort()
         density_rows[f"{dens:g}"] = {
             "gbps": round(dens_bytes / dtimes[1] / 1e9, 4),
@@ -198,6 +240,7 @@ def main() -> None:
             "pass_ms": round(dtimes[1] * 1e3, 2),
             "matches": int(res_d["doc"].shape[0]),
             "corpus_mib": round(dens_bytes / 2**20, 1),
+            "cold_capacity_retries": int(cold_retries),
         }
         del hd
 
@@ -230,6 +273,7 @@ def main() -> None:
             "public_api": "device_corpus + match_arrays_many",
             "caps_moved_during_timing": bool(caps_moved),
             "e2e_gbps_via_relay": round(e2e_gbps, 4),
+            "cold_path": cold,
             "build_s": round(build_s, 3),
             "engine": (
                 f"cascade/{cm.plan.reason}" if use_cascade
@@ -239,6 +283,9 @@ def main() -> None:
                 )
             ),
             "states": auto.n_states,
+            # the headline corpus is random abcdef with nothing planted:
+            # 0 matches by construction — this row is the FILTER-bound
+            # number; emission costs are covered by match_density_gbps
             "matches": pass_matches,
             "match_density_gbps": density_rows,
             "signature_scale": sig,

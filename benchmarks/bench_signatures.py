@@ -81,23 +81,28 @@ def main():
 
     import jax.numpy as jnp
 
-    packed = pack_documents(docs, m._pack_chunk_len(), auto.max_len - 1)
+    packed = pack_documents(docs, m._pack_chunk_len(), auto.max_len - 1,
+                            row_align=m._row_align())
     ch = jnp.asarray(packed.chunks)
     ln = jnp.asarray(packed.lengths)
     ef = jnp.asarray(packed.emit_from)
 
     engine = m._pick_engine(n_bytes)
     cm = m.cascade_model if engine == "cascade" else None
+    handle = None
     if cm is not None:
         print(f"engine: cascade ({cm.plan.reason}, "
               f"bloom {4 << cm.plan.log2_words >> 20} MiB, "
-              f"device_verify={cm.device_verify_ok})")
+              f"device_verify={cm.device_verify_ok}, "
+              f"records={cm.records_ok})")
+        # PUBLIC steady-state path: resident handle + pipelined records
+        # batches (headline methodology; engages the corpus word-pack /
+        # phase caches the launch otherwise re-pays per pass)
+        handle = m.device_corpus(docs)
 
         def launch():
-            docs_a, _, _ = cm.run_arrays(
-                packed, 1 << 16, dev_inputs=(ch, ln, ef)
-            )
-            return int(docs_a.shape[0])
+            res = m.match_arrays(handle)
+            return int(res["doc"].shape[0])
     else:
         print(f"engine: {engine} (dense dfa fallback)")
 
@@ -111,29 +116,15 @@ def main():
     n = launch()  # adaptive capacities settle
     reps = 3
     if cm is not None:
-        # pipelined steady state (headline methodology): all chains
-        # dispatched back-to-back, occupancy scalars in ONE trailing
-        # fetch — the per-launch host round trip (~25-50 ms on the
-        # tunneled grant) otherwise lands in every rep
-        import jax.numpy as jnp
-
-        ca, cb = cm.learned_caps
+        m.match_arrays_many([handle] * reps)  # warm the batch structure
 
         def batch():
-            accs = []
-            for _ in range(reps):
-                cells, n_d, nf_d, nc_d = cm.launch_device(ch, ln, ca, cb)
-                accs.extend((n_d, nf_d, nc_d))
-            flat = np.asarray(jnp.stack(accs))
-            assert flat[0::3].max() <= ca and flat[2::3].max() <= (
-                cm._cap_coarse
-            )
-            return flat
+            t0 = time.time()
+            m.match_arrays_many([handle] * reps)
+            return (time.time() - t0) / reps
 
-        batch()  # warm the exact batch structure
-        t0 = time.time()
-        batch()
-        dt = (time.time() - t0) / reps
+        dts = sorted(batch() for _ in range(3))
+        dt = dts[1]
     else:
         times = []
         for _ in range(reps):

@@ -100,3 +100,21 @@ assert tm.match(ttext) == Matcher(
 print(f"VERIFY DRIVE OK: {len(recs)} cascade records, "
       f"{n_recs} handle records, tile ok; device =", end=" ")
 import jax; print(jax.devices()[0])
+
+# hardware kernel parity suite (VERDICT r4 weak #4): the Mosaic bit-
+# exactness assertions, promoted from manually-run probes to pytest
+# (tests/test_tpu_hw.py).  Runs in THIS process (one TPU user at a
+# time); the persistent compile cache makes re-runs cheap.
+import os as _os
+
+if _os.environ.get("AHO_SMOKE_SKIP_HW_TESTS") != "1":
+    _os.environ["AHO_TPU_TESTS"] = "1"
+    import pytest as _pytest
+
+    _repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    rc = _pytest.main(
+        ["-m", "tpu", "-q", "--no-header",
+         _os.path.join(_repo, "tests", "test_tpu_hw.py")]
+    )
+    assert rc == 0, f"hardware kernel tests failed (pytest rc={rc})"
+    print("HW KERNEL TESTS OK (pytest -m tpu)")

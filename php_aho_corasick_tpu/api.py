@@ -32,7 +32,7 @@ statuses while keeping identical match output.
 
 from __future__ import annotations
 
-from typing import Any, Iterator, List, Optional, Sequence, Union
+from typing import Any, Iterator, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -126,12 +126,49 @@ class DeviceCorpus:
             )
         return self._phase_cache[key]
 
+    def packed_words(self, cascade_model):
+        """Lazily-cached int32 word pack of the resident corpus for the
+        grouped take path (its in-launch pack costs ~8 ms per 64 MiB —
+        benchmarks/probe_sig_budget.py).  ``None`` when the plan's
+        cell-aligned gate fails or the fused path (which uses
+        :meth:`fused_phases` instead) is in charge."""
+        if cascade_model is None:
+            return None
+        p = cascade_model.plan
+        L = self.chunks_d.shape[1]
+        if (
+            p.mode != "sampled"
+            or not p.stride
+            or p.stride % 4
+            or L % p.stride
+            or cascade_model.bloom_impl() == "pallas_vmem"
+        ):
+            return None
+        if "wc" not in self._phase_cache:
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def pack(ch):
+                w = None
+                for k in range(4):
+                    part = (
+                        ch[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
+                    )
+                    w = part if w is None else (w | part)
+                return jax.lax.bitcast_convert_type(w, jnp.int32)
+
+            self._phase_cache["wc"] = pack(self.chunks_d)
+        return self._phase_cache["wc"]
+
     def dev_inputs_for(self, cascade_model):
         """``dev_inputs`` extended with the cached fused-filter phases
-        (consumed by ``CascadeModel.run_arrays``)."""
+        and grouped-path word pack (consumed by
+        ``CascadeModel.run_arrays``)."""
         return (
             self.chunks_d, self.lengths_d, self.emit_from_d,
             self.fused_phases(cascade_model),
+            self.packed_words(cascade_model),
         )
 
     def __repr__(self) -> str:  # pragma: no cover - cosmetic
@@ -645,15 +682,139 @@ class Matcher:
         if any(h.mesh is not None for h in handles):
             # mixed residency: serve each handle on its own fast path
             return [self.match_arrays(h, find_all) for h in handles]
+        return self._records_batch_finish(
+            *self._records_batch_dispatch(handles, cm), find_all
+        )
+
+    def _match_arrays_fresh_pipelined(self, docs, find_all):
+        """Cold-corpus double buffering (VERDICT r4 #5): slice a fresh
+        document list into ``fresh_slice_bytes`` pieces and drive them
+        through :meth:`match_arrays_stream`, so slice ``k+1``'s host
+        packing + host->device upload overlap slice ``k``'s device scan
+        (and slice ``k-1``'s host emission).  A one-shot ``match_arrays``
+        over a fresh corpus previously packed + uploaded + scanned
+        strictly serially.  Returns the merged columnar dict, or None
+        when the pipeline does not apply (small input, no records-path
+        plan, or a multi-device mesh — those keep the grouped path)."""
+        import jax
+
+        cm = self.cascade_model
+        slice_bytes = min(
+            self.config.fresh_slice_bytes,
+            self.config.max_launch_bytes // 2,
+        )
+        total = sum(map(len, docs))
+        if (
+            cm is None
+            or cm.plan.mode != "sampled"
+            or not cm.records_ok
+            or len(docs) < 2
+            or total < 2 * slice_bytes
+            or max(map(len, docs)) > slice_bytes
+            or (self.config.auto_shard and len(jax.devices()) > 1)
+            or self._pick_engine(total) != "cascade"
+        ):
+            return None
+
+        slices: List[Tuple[int, int]] = []  # (doc_lo, doc_hi)
+        lo = 0
+        size = 0
+        for i, d in enumerate(docs):
+            if size and size + len(d) > slice_bytes:
+                slices.append((lo, i))
+                lo, size = i, 0
+            size += len(d)
+        slices.append((lo, len(docs)))
+
+        def batches():
+            for s_lo, s_hi in slices:
+                # pack + device_put run here — i.e. while the PREVIOUS
+                # slice's chains execute on device (enqueued async)
+                yield [self.device_corpus(docs[s_lo:s_hi])]
+
+        docs_l, ends_l, pids_l = [], [], []
+        for (s_lo, _), res in zip(
+            slices, self.match_arrays_stream(batches(), find_all)
+        ):
+            r = res[0]
+            docs_l.append(r["doc"] + s_lo)  # globalize doc indices
+            ends_l.append(r["pos"])
+            pids_l.append(r["pattern"])
+        docs_a = np.concatenate(docs_l)
+        ends_a = np.concatenate(ends_l)
+        pids_a = np.concatenate(pids_l)
+        starts_a = ends_a - self._auto.pat_lens[pids_a]
+        self.stats.record(
+            "cascade-fresh", "device", total, int(docs_a.shape[0])
+        )
+        return {
+            "doc": docs_a,
+            "pos": ends_a,
+            "start_postion": starts_a,  # sic: reference API typo
+            "pattern": pids_a,
+        }
+
+    def _records_batch_dispatch(self, handles, cm):
+        """Enqueue the speculative records chains for a batch — device
+        work only, NO host fetch (so a later batch can be dispatched
+        before this one's records are expanded)."""
         cap_a = max(cm._cap_hits, 256)
         cap_r = max(cm._cap_flagged, 256)
         outs = [
             cm.launch_device_records(
                 h.chunks_d, h.lengths_d, h.emit_from_d, cap_a, cap_r,
-                phase_g=h.fused_phases(cm),
+                phase_g=h.fused_phases(cm), wc=h.packed_words(cm),
             )
             for h in handles
         ]
+        return handles, cm, outs, cap_a, cap_r
+
+    def match_arrays_stream(self, handle_batches, find_all: bool = True):
+        """Generator over batches of resident handles: yields one
+        :meth:`match_arrays_many`-style result list per batch, with
+        batch ``k+1``'s device chains dispatched BEFORE batch ``k``'s
+        records are expanded on the host — the device computes the next
+        batch while the host emits the previous one (the double-buffer
+        VERDICT r4 #3 names; at match-dense loads host emission is a
+        third of the serving pass).  Exactness and per-batch results are
+        identical to calling :meth:`match_arrays_many` per batch."""
+        if not self._valid:
+            warn("match on a closed matcher")
+            raise StateError("matcher is closed")
+        if not self._finalized:
+            self.finalize()
+        cm = self.cascade_model
+        prev = None
+        for batch in handle_batches:
+            batch = list(batch)
+            fast = (
+                batch
+                and cm is not None
+                and cm.plan.mode == "sampled"
+                and cm.records_ok
+                and all(h.mesh is None for h in batch)
+                and all(
+                    self._pick_engine(h.total_bytes) == "cascade"
+                    for h in batch
+                )
+            )
+            if not fast:
+                if prev is not None:
+                    yield self._records_batch_finish(*prev, find_all)
+                    prev = None
+                yield self.match_arrays_many(batch, find_all)
+                continue
+            cur = self._records_batch_dispatch(batch, cm)
+            if prev is not None:
+                yield self._records_batch_finish(*prev, find_all)
+            prev = cur
+        if prev is not None:
+            yield self._records_batch_finish(*prev, find_all)
+
+    def _records_batch_finish(self, handles, cm, outs, cap_a, cap_r,
+                              find_all):
+        import jax.numpy as jnp
+
         flat = np.asarray(
             jnp.stack([s for o in outs for s in o[2:5]])
         ).reshape(len(outs), 3)
@@ -824,6 +985,9 @@ class Matcher:
                 dc, docs_a, ends_a, pids_a, find_all
             )
         docs = [_as_bytes(h) for h in haystacks]
+        fresh = self._match_arrays_fresh_pipelined(docs, find_all)
+        if fresh is not None:
+            return fresh
         parts: List[tuple] = []
         if self._auto.n_patterns > 0 and docs:
             limit = self.config.max_launch_bytes

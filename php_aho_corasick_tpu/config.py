@@ -150,6 +150,13 @@ class ScanConfig:
     #: host scalar scanner — device dispatch overhead dominates tiny scans.
     host_scan_threshold: int = 4096
 
+    #: Slice size of the cold-corpus double-buffered pipeline
+    #: (Matcher._match_arrays_fresh_pipelined): a fresh match_arrays over
+    #: many documents packs + uploads slice k+1 while slice k scans on
+    #: device.  Small enough to overlap meaningfully, large enough that
+    #: per-slice dispatch overhead amortizes.
+    fresh_slice_bytes: int = 16 * 1024 * 1024
+
     def __post_init__(self) -> None:
         if self.max_pattern_length < 1:
             raise ValueError("max_pattern_length must be >= 1")

@@ -652,6 +652,40 @@ class CascadeModel:
         )
 
     @property
+    def records2_ok(self) -> bool:
+        """Gate for the 2-class super-step record verifier
+        (ops/filter_jax.verify_windows_records2): states must fit the
+        15-bit packed field and the composed [S, C, C] table must stay
+        small (it is VMEM-irrelevant but HBM-resident)."""
+        from ..ops.filter_jax import REC2_BITS
+
+        return (
+            self.records_ok
+            and not self._compressed
+            and self.auto.n_states < (1 << REC2_BITS)
+            and self.auto.n_states * self.auto.n_classes ** 2 * 4
+            <= self.config.verify_kgram_bytes
+        )
+
+    @property
+    def verify2_table_dev(self):
+        """Lazy device upload of the packed 2-step verify table:
+        ``table2[s, c1*C + c2] = s2 | (s1 << 15)`` (one numpy compose,
+        paid once per automaton)."""
+        if getattr(self, "_verify2_table", None) is None:
+            import jax.numpy as jnp
+
+            from ..ops.filter_jax import REC2_BITS
+
+            t = np.ascontiguousarray(self.auto.table, dtype=np.int64)
+            S, C = t.shape
+            s1 = t  # [S, C]
+            s2 = t[s1.reshape(-1), :].reshape(S, C, C)  # [S, c1, c2]
+            packed = (s2 | (s1[:, :, None] << REC2_BITS)).astype(np.int32)
+            self._verify2_table = jnp.asarray(packed.reshape(-1))
+        return self._verify2_table
+
+    @property
     def device_verify_ok(self) -> bool:
         """Device window verification needs the final-step bitmask to fit
         an int32 and a DFA model (dense or compressed) to share the
@@ -755,7 +789,7 @@ class CascadeModel:
 
     def scan_hits_sampled(
         self, chunks, lengths, capacity: int,
-        cap_coarse: Optional[int] = None, phase_g=None,
+        cap_coarse: Optional[int] = None, phase_g=None, wc=None,
     ):
         """One launch of the grid-domain sampled filter.  Returns
         ``(grid_idx, long_word, short_word, n_hits, n_coarse)``.  The
@@ -829,6 +863,7 @@ class CascadeModel:
                 prefix_len=p.prefix_len,
                 block_r=self.take_group_block_r(),
                 words2=dev.get("sampled_words2"),
+                wc=wc,
             )
         idx, lw, sw, n = filter_hits_sampled(
             dev["sampled_words"],
@@ -940,7 +975,7 @@ class CascadeModel:
             self._cap_coarse = max(floor, self._cap_coarse // 2)
 
     def launch_device(self, chunks_d, lengths_d, cap_a, cap_b,
-                      phase_g=None):
+                      phase_g=None, wc=None):
         """One speculative filter→verify chain entirely on device.
 
         Returns ``(cells, n_d, nf_d, nc_d)`` as *device* values with no
@@ -958,7 +993,7 @@ class CascadeModel:
         dd = self.dense_model.device_arrays
         dev = self.device_arrays
         idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
-            chunks_d, lengths_d, cap_a, phase_g=phase_g
+            chunks_d, lengths_d, cap_a, phase_g=phase_g, wc=wc
         )
         if not self._compressed and self.verify_kv > 1:
             cells, nf_d = verify_windows_kgram(
@@ -1014,7 +1049,8 @@ class CascadeModel:
         return cells, n_d, nf_d, nc_d
 
     def launch_device_records(
-        self, chunks_d, lengths_d, emit_from_d, cap_a, cap_r, phase_g=None
+        self, chunks_d, lengths_d, emit_from_d, cap_a, cap_r,
+        phase_g=None, wc=None,
     ):
         """Speculative filter→record-verify chain: like
         :meth:`launch_device` but the verify stage emits compacted
@@ -1042,11 +1078,18 @@ class CascadeModel:
             p = self.plan
             dummy = jnp.zeros((1,), jnp.int32)
             comp = self._compressed
+            use_k2 = self.records2_ok
+            if comp:
+                tflat = dd["dense_flat"]
+            elif use_k2:
+                tflat = self.verify2_table_dev
+            else:
+                tflat = dd["table_flat"]
             return records_chain_vmem(
                 dev["vmem_table"],
                 dev["sampled_words"],
                 dev.get("prefix_words", dummy),
-                dd["dense_flat"] if comp else dd["table_flat"],
+                tflat,
                 dd["meta"] if comp else dummy,
                 dd["exc_target"] if comp else dummy,
                 dev["byte_class"],
@@ -1078,10 +1121,11 @@ class CascadeModel:
                 win_len=self.win_len,
                 cap_r=cap_r,
                 compressed=comp,
+                use_k2=use_k2,
                 interpret=jax.default_backend() != "tpu",
             )
         idx, _lw, _sw, n_d, nc_d = self.scan_hits_sampled(
-            chunks_d, lengths_d, cap_a, phase_g=phase_g
+            chunks_d, lengths_d, cap_a, phase_g=phase_g, wc=wc
         )
         if self._compressed:
             rec_cell, rec_pack, nr_d = verify_windows_records_compressed(
@@ -1214,10 +1258,13 @@ class CascadeModel:
             import jax.numpy as jnp
 
             phase_g = None
+            wc = None
             if dev_inputs is not None:
                 chunks_d, lengths_d, emit_from_d = dev_inputs[:3]
                 if len(dev_inputs) > 3:  # resident-corpus phase cache
                     phase_g = dev_inputs[3]
+                if len(dev_inputs) > 4:  # resident-corpus word pack
+                    wc = dev_inputs[4]
             else:
                 # one host->device upload, shared by every retry + phase B
                 chunks_d = jnp.asarray(packed.chunks)
@@ -1230,7 +1277,7 @@ class CascadeModel:
                 def launch_r(cap_a, cap_r):
                     rc, rp, n_d, nr_d, nc_d = self.launch_device_records(
                         chunks_d, lengths_d, emit_from_d, cap_a, cap_r,
-                        phase_g=phase_g,
+                        phase_g=phase_g, wc=wc,
                     )
                     n, nr, nc = map(
                         int, np.asarray(jnp.stack([n_d, nr_d, nc_d]))
@@ -1247,7 +1294,8 @@ class CascadeModel:
 
             def launch(cap_a, cap_b):
                 cells, n_d, nf_d, nc_d = self.launch_device(
-                    chunks_d, lengths_d, cap_a, cap_b, phase_g=phase_g
+                    chunks_d, lengths_d, cap_a, cap_b, phase_g=phase_g,
+                    wc=wc,
                 )
                 n, nf, nc = map(
                     int, np.asarray(jnp.stack([n_d, nf_d, nc_d]))

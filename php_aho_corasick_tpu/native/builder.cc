@@ -193,6 +193,7 @@ int aho_builder_compile(Builder* b) {
   for (int64_t s = 0; s < S; ++s) inv[perm[s]] = static_cast<int32_t>(s);
 
   b->table.resize(static_cast<size_t>(S) * C);
+#pragma omp parallel for schedule(static)
   for (int64_t ns = 0; ns < S; ++ns) {
     const int32_t* src = &table[static_cast<size_t>(inv[ns]) * C];
     int32_t* dst = &b->table[static_cast<size_t>(ns) * C];
@@ -208,6 +209,7 @@ int aho_builder_compile(Builder* b) {
   for (int64_t ns = 0; ns < S; ++ns)
     b->emit_start[ns + 1] = b->emit_start[ns] + counts[inv[ns]];
   b->emit_pats.resize(b->emit_start[S]);
+#pragma omp parallel for schedule(static)
   for (int64_t ns = 0; ns < S; ++ns) {
     int64_t w = b->emit_start[ns];
     for (int32_t s = inv[ns]; ; s = b->nodes[s].fail) {
@@ -227,6 +229,7 @@ int aho_builder_compile(Builder* b) {
 static constexpr int32_t kExcPack = 512;  // tables.EXC_PACK
 
 int aho_builder_compile_compressed(Builder* b) {
+  StageTimer t;
   b->closed = true;
   const int64_t S = static_cast<int64_t>(b->nodes.size());
 
@@ -244,6 +247,7 @@ int aho_builder_compile_compressed(Builder* b) {
   std::vector<std::vector<int32_t>> by_level(max_depth + 1);
   for (int64_t s = 0; s < S; ++s)
     by_level[b->nodes[s].depth].push_back(static_cast<int32_t>(s));
+  t.mark("classes+levels");
 
   std::vector<int64_t> counts(S, 0);
   std::vector<uint8_t> is_dense(S, 0);
@@ -306,13 +310,17 @@ int aho_builder_compile_compressed(Builder* b) {
         dense_slot[s] = n_bank++;
       }
     }
-    for (int32_t s : by_level[d]) {
+    const int64_t ln = static_cast<int64_t>(by_level[d].size());
+#pragma omp parallel for schedule(static)
+    for (int64_t li = 0; li < ln; ++li) {
+      const int32_t s = by_level[d][li];
       for (const auto& e : b->nodes[s].edges)
         b->nodes[e.second].fail =
             delta(b->nodes[s].fail, b->byte_class[e.first]);
     }
   }
 
+  t.mark("closure");
   if (n_bank >= (int64_t{1} << 31) / kExcPack) return 1;  // meta overflow
 
   // renumber [dense nonfinal][dense final][sparse nonfinal][sparse final]
@@ -332,8 +340,10 @@ int aho_builder_compile_compressed(Builder* b) {
     if (pass == 2) b->final_start = next_id;
   }
   const int64_t D = b->comp_n_dense;
+  t.mark("renumber");
 
   b->comp_dense.resize(D * C);
+#pragma omp parallel for schedule(static)
   for (int64_t ns = 0; ns < D; ++ns) {
     const int32_t* src = &bank[dense_slot[new_order[ns]] * C];
     int32_t* dst = &b->comp_dense[ns * C];
@@ -341,12 +351,14 @@ int aho_builder_compile_compressed(Builder* b) {
   }
   b->comp_meta.resize(S - D);
   b->comp_tgt.resize(S - D);
+#pragma omp parallel for schedule(static)
   for (int64_t ns = D; ns < S; ++ns) {
     const int32_t s = new_order[ns];
     b->comp_meta[ns - D] = perm[skip[s]] * kExcPack + exc_cls[s] + 1;
     b->comp_tgt[ns - D] = exc_cls[s] >= 0 ? perm[exc_tgt[s]] : 0;
   }
 
+  t.mark("export-tables");
   b->state_depth.resize(S);
   for (int64_t ns = 0; ns < S; ++ns)
     b->state_depth[ns] = b->nodes[new_order[ns]].depth;
@@ -355,6 +367,7 @@ int aho_builder_compile_compressed(Builder* b) {
   for (int64_t ns = 0; ns < S; ++ns)
     b->emit_start[ns + 1] = b->emit_start[ns] + counts[new_order[ns]];
   b->emit_pats.resize(b->emit_start[S]);
+#pragma omp parallel for schedule(static)
   for (int64_t ns = 0; ns < S; ++ns) {
     int64_t w = b->emit_start[ns];
     for (int32_t s = new_order[ns]; ; s = b->nodes[s].fail) {
@@ -362,6 +375,7 @@ int aho_builder_compile_compressed(Builder* b) {
       if (s == 0) break;
     }
   }
+  t.mark("emit-csr");
   return 0;
 }
 

@@ -381,6 +381,7 @@ def filter_hits_sampled_grouped(
     prefix_len: int = 0,
     block_r: int = FUSED_BLOCK_R,
     words2=None,  # [2**log2_words] int32 second-family bloom, or None
+    wc=None,  # [B, L/4] int32 packed corpus words (resident-corpus cache)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Take-path sampled filter with group rank extraction + per-slot
     refinement — the signature-scale fast path (VERDICT r3 #4).
@@ -407,11 +408,15 @@ def filter_hits_sampled_grouped(
     M = L // stride
     spc = stride // 4
     # ONE corpus word pack + phase split, shared by both code families
-    # AND the per-slot window fetches (three separate passes before)
-    wc = None
-    for k in range(4):
-        part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
-        wc = part if wc is None else (wc | part)
+    # AND the per-slot window fetches (three separate passes before);
+    # resident-corpus callers pass the cached pack (``wc``) — the pack
+    # costs ~8 ms per 64 MiB launch (benchmarks/probe_sig_budget.py)
+    if wc is None:
+        for k in range(4):
+            part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
+            wc = part if wc is None else (wc | part)
+    else:
+        wc = jax.lax.bitcast_convert_type(wc, jnp.uint32)
     wc_flat = jax.lax.bitcast_convert_type(wc, jnp.int32).reshape(-1)
     n_words_c = wc_flat.shape[0]
 
@@ -1129,6 +1134,138 @@ def verify_windows_records(
     return rec_cell, rec_pack, n_rec
 
 
+#: state-field width of the packed 2-step verify entry (s2 | s1 << 15)
+REC2_BITS = 15
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_classes", "stride", "win_len", "capacity", "n_hits",
+    ),
+)
+def verify_windows_records2(
+    table2_flat: jax.Array,  # [S * C * C] int32 packed 2-step entries
+    byte_class: jax.Array,
+    used_bytes: jax.Array,
+    chunks: jax.Array,  # [B, L] uint8, L % 4 == 0 (ROW_ALIGN)
+    lengths: jax.Array,  # [B] int32
+    emit_from: jax.Array,  # [B] int32
+    grid_idx: jax.Array,  # [>=n_hits] int32 b*M+m hits, INT32_MAX-padded
+    final_start: jax.Array,  # scalar int32
+    n_classes: int,
+    stride: int,
+    win_len: int,  # <= 31 (REC_OVERFLOW_J is reserved)
+    capacity: int,
+    n_hits: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`verify_windows_records` in 2-class super-steps: the packed
+    table ``table2[s, c1*C + c2] = s2 | (s1 << 15)`` advances two window
+    positions per dependent gather, halving the serial chain that floors
+    the match-dense verify stage (round-5: ~23 dependent gathers x ~82k
+    windows was ~35 ms of the 1e-3 density pass — the per-position
+    intermediate state ``s1`` rides in the entry's high bits, so finals
+    at BOTH positions are detected exactly, with the same per-window
+    record slots / overflow sentinel).  Requires ``S < 2**15``
+    (CascadeModel.records2_ok); positions outside ``[0, length)``
+    contribute class 0 (root transitions) exactly like the 1-step walk."""
+    B, L = chunks.shape
+    M = -(-L // stride)
+    H = min(n_hits, grid_idx.shape[0])
+    grid_idx = grid_idx[:H]
+    W = win_len
+    active = grid_idx < INT32_MAX
+    g = jnp.where(active, grid_idx, 0)
+    b = g // M
+    w0 = (g % M) * stride - (stride - 1)
+    base = b * L + w0
+    row_len = lengths[b]
+    row_emit = emit_from[b]
+
+    if n_classes <= 255 and H * W * 32 >= B * L:
+        cls_all = _classes(chunks, byte_class, used_bytes).astype(jnp.uint32)
+        cw = None
+        for k in range(4):
+            part = cls_all[:, k::4] << jnp.uint32(8 * k)
+            cw = part if cw is None else (cw | part)
+        cw_flat = cw.reshape(-1)
+        nw = cw_flat.shape[0]
+        wbase = base >> 2
+        off = base & 3
+        n_words = W // 4 + 2
+        wv = [
+            jnp.take(cw_flat, jnp.clip(wbase + i, 0, nw - 1))
+            for i in range(n_words)
+        ]
+        cols = []
+        for j in range(W):
+            lo, rem = divmod(j, 4)
+            carry = off + rem >= 4
+            word = jnp.where(carry, wv[lo + 1], wv[lo])
+            shift = ((off + rem) & 3) * 8
+            cols.append(
+                ((word >> shift) & jnp.uint32(0xFF)).astype(jnp.int32)
+            )
+    else:
+        j_idx = jnp.arange(W, dtype=jnp.int32)[None, :]
+        bidx = jnp.clip(base[:, None] + j_idx, 0, B * L - 1)
+        byte = jnp.take(chunks.reshape(-1), bidx).astype(jnp.int32)
+        cls2d = _classes(byte.astype(jnp.uint8), byte_class, used_bytes)
+        cols = [cls2d[:, j] for j in range(W)]
+
+    smask = (1 << REC2_BITS) - 1
+    C2 = n_classes * n_classes
+    state = jnp.zeros((H,), jnp.int32)
+    cnt = jnp.zeros((H,), jnp.int32)
+    slots = [jnp.zeros((H,), jnp.int32) for _ in range(VERIFY_KR)]
+    for t in range(-(-W // 2)):
+        j1, j2 = 2 * t, 2 * t + 1
+        pos1 = w0 + j1
+        valid1 = (pos1 >= 0) & (pos1 < row_len) & active
+        c1 = jnp.where(valid1, cols[j1], 0)
+        if j2 < W:
+            pos2 = w0 + j2
+            valid2 = (pos2 >= 0) & (pos2 < row_len) & active
+            c2 = jnp.where(valid2, cols[j2], 0)
+        else:
+            pos2 = pos1  # dead half-step: class 0, never emits
+            valid2 = jnp.zeros_like(valid1)
+            c2 = jnp.zeros_like(c1)
+        entry = jnp.take(
+            table2_flat, state * C2 + c1 * n_classes + c2
+        ).astype(jnp.int32)
+        s1 = entry >> REC2_BITS
+        s2 = entry & smask
+        for s_j, pos_j, valid_j, j in (
+            (s1, pos1, valid1, j1),
+            (s2, pos2, valid2, j2),
+        ):
+            if j >= W:
+                continue
+            fin = (
+                (s_j >= final_start) & valid_j & (pos_j >= row_emit)
+            )
+            pack = s_j * 32 + j
+            for k in range(VERIFY_KR):
+                slots[k] = jnp.where(fin & (cnt == k), pack, slots[k])
+            cnt = cnt + fin.astype(jnp.int32)
+        state = s2
+    over = cnt > VERIFY_KR
+    slots.append(jnp.where(over, jnp.int32(REC_OVERFLOW_J), 0))
+    used = [cnt > k for k in range(VERIFY_KR)] + [over]
+
+    alive = jnp.stack(used).reshape(-1)
+    slot_idx, n_rec = blocked_nonzero(alive, capacity)
+    tot = (VERIFY_KR + 1) * H
+    safe = jnp.minimum(slot_idx, tot - 1)
+    valid = slot_idx < INT32_MAX
+    pk = jnp.stack(slots).reshape(-1)
+    cells = jnp.take(grid_idx, safe % H)
+    rec_cell = jnp.where(valid, cells, INT32_MAX)
+    rec_pack = jnp.where(valid, jnp.take(pk, safe), 0)
+    return rec_cell, rec_pack, n_rec
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1228,7 +1365,7 @@ def verify_windows_records_compressed(
         "q", "stride", "log2_rows", "salts", "pack", "log2_words",
         "fine_salts", "shorts", "cap_a", "cap_coarse", "prefix_salts",
         "prefix_log2", "prefix_len", "n_classes", "n_dense", "win_len",
-        "cap_r", "compressed", "interpret",
+        "cap_r", "compressed", "use_k2", "interpret",
     ),
 )
 def records_chain_vmem(
@@ -1266,7 +1403,8 @@ def records_chain_vmem(
     win_len: int,
     cap_r: int,
     compressed: bool,
-    interpret: bool,
+    use_k2: bool = False,  # table_flat holds the packed 2-step table
+    interpret: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """VMEM filter + record verification inlined into ONE jit graph.
 
@@ -1295,6 +1433,13 @@ def records_chain_vmem(
             lengths, emit_from, idx, dense_final_start, final_start,
             n_classes=n_classes, n_dense=n_dense, stride=stride,
             win_len=win_len, capacity=cap_r, n_hits=cap_a,
+        )
+    elif use_k2:
+        rc, rp, nr = verify_windows_records2(
+            table_flat, byte_class, used_bytes, chunks, lengths,
+            emit_from, idx, final_start,
+            n_classes=n_classes, stride=stride, win_len=win_len,
+            capacity=cap_r, n_hits=cap_a,
         )
     else:
         rc, rp, nr = verify_windows_records(

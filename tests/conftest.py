@@ -5,22 +5,64 @@ This environment boots every interpreter with a TPU PJRT plugin pre-loaded
 are not enough: XLA_FLAGS must be set before the CPU backend is created,
 and the platform list forced through jax.config.  The single real TPU chip
 is reserved for benchmarks; all tests run on the virtual CPU mesh.
+
+Exception (VERDICT r4 weak #4): ``AHO_TPU_TESTS=1 pytest -m tpu`` runs
+the hardware-only kernel assertions (tests/test_tpu_hw.py) on the real
+chip — Mosaic roll/cumsum conventions are exactly what the interpreter
+cannot validate, so those parity checks must execute on TPU.  Run them
+single-process (concurrent TPU users hang the axon grant) and never
+hard-kill mid-run.
 """
 
 import os
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+TPU_TESTS = os.environ.get("AHO_TPU_TESTS") == "1"
+
+if TPU_TESTS:
+    # Mosaic cold compiles through the axon remote helper cost minutes;
+    # the persistent cache makes hardware-test re-runs ~free
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+if not TPU_TESTS:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TESTS:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: hardware-only kernel assertions; run with AHO_TPU_TESTS=1 "
+        "pytest -m tpu on a machine with a real TPU",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_TESTS:
+        # only the hardware tests make sense in this mode
+        skip = pytest.mark.skip(reason="AHO_TPU_TESTS=1 runs -m tpu only")
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(
+            reason="needs the real TPU (AHO_TPU_TESTS=1 pytest -m tpu)"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 
 @pytest.fixture(params=["host", "device"])

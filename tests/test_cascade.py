@@ -954,3 +954,33 @@ def test_stride32_long_patterns_prefix_refinement():
     assert cm is not None and cm.plan.stride == 32, cm.plan.reason
     got = [(r["pos"], r["keyIdx"]) for r in m.match(text)]
     assert got == brute_force(patterns, text)
+
+
+def test_records2_superstep_parity():
+    """The 2-class super-step record verifier (verify_windows_records2,
+    round-5 density lever) must equal the 1-step records path and brute
+    force exactly — including windows with finals at BOTH half-steps and
+    the overflow sentinel (dense plants force > VERIFY_KR finals)."""
+    rng = random.Random(55)
+    patterns = list({
+        bytes(rng.choice(b"ab") for _ in range(16)) for _ in range(40)
+    })
+    # binary alphabet + heavy planting => overlapping matches, adjacent
+    # final positions, record-slot overflow
+    text = bytearray(rng.choice(b"ab") for _ in range(20000))
+    for i in range(300):
+        p = patterns[i % len(patterns)]
+        pos = rng.randrange(0, len(text) - len(p))
+        text[pos : pos + len(p)] = p
+    text = bytes(text)
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     cascade_mode="sampled", chunk_len=1024,
+                     bloom_impl="pallas_vmem")
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)],
+                cfg)
+    cm = m.cascade_model
+    assert cm is not None and cm.plan.mode == "sampled", cm.plan.reason
+    if not cm.records2_ok:
+        pytest.skip("records2 gate not met for this plan")
+    got = [(r["pos"], r["keyIdx"]) for r in m.match(text)]
+    assert got == brute_force(patterns, text)

@@ -162,3 +162,57 @@ def test_records_fallback_counter():
     expect = m.match_arrays(docs)
     for k in ("doc", "pos", "start_postion", "pattern"):
         np.testing.assert_array_equal(got[0][k], expect[k])
+
+
+def test_match_arrays_stream_parity():
+    """match_arrays_stream (cross-batch double buffering) must yield
+    exactly what per-batch match_arrays_many returns, for fast-path and
+    fallback batches alike."""
+    patterns, docs1 = _mk_docs(seed=41)
+    _, docs2 = _mk_docs(seed=42)
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     chunk_len=512)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)],
+                cfg)
+    h1, h2 = m.device_corpus(docs1), m.device_corpus(docs2)
+    batches = [[h1, h2], [h2], [h1, h1, h2]]
+    got = list(m.match_arrays_stream(batches))
+    exp = [m.match_arrays_many(b) for b in batches]
+    assert len(got) == len(exp)
+    for gl, el in zip(got, exp):
+        for g, e in zip(gl, el):
+            for k in ("doc", "pos", "start_postion", "pattern"):
+                np.testing.assert_array_equal(g[k], e[k])
+
+
+def test_fresh_pipelined_parity():
+    """The cold-corpus double-buffered pipeline (VERDICT r4 #5) must
+    return exactly what the grouped launch path returns, including doc
+    index globalization across slices and find_all=False."""
+    patterns, _ = _mk_docs()
+    rng = random.Random(71)
+    docs = []
+    for _ in range(40):
+        d = bytearray(rng.choice(b"agmert!") for _ in range(3000))
+        for _ in range(2):
+            p = rng.choice(patterns)
+            pos = rng.randrange(0, len(d) - len(p))
+            d[pos : pos + len(p)] = p
+        docs.append(bytes(d))
+    cfg = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                     chunk_len=512, fresh_slice_bytes=16 * 1024)
+    m = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)],
+                cfg)
+    got = m.match_arrays(docs)
+    assert m.stats.last_engine == "cascade-fresh", m.stats.last_engine
+    cfg2 = ScanConfig(backend="device", engine="cascade", auto_shard=False,
+                      chunk_len=512)  # default slice: pipeline inactive
+    m2 = Matcher([{"id": i, "value": p} for i, p in enumerate(patterns)],
+                 cfg2)
+    expect = m2.match_arrays(docs)
+    for k in ("doc", "pos", "start_postion", "pattern"):
+        np.testing.assert_array_equal(got[k], expect[k])
+    gf = m.match_arrays(docs, find_all=False)
+    ef = m2.match_arrays(docs, find_all=False)
+    for k in ("doc", "pos", "start_postion", "pattern"):
+        np.testing.assert_array_equal(gf[k], ef[k])
