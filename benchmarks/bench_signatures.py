@@ -116,6 +116,8 @@ def main():
     n = launch()  # adaptive capacities settle
     reps = 3
     if cm is not None:
+        reps = 8  # the per-batch stats + record fetches (~2 tunnel round
+        # trips) amortize across the pipelined batch, as in bench.py
         m.match_arrays_many([handle] * reps)  # warm the batch structure
 
         def batch():

@@ -105,6 +105,9 @@ def main():
         "~360 cases), so the parent re-spawns children"
     ))
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--artifact", default=None, help=(
+        "write a JSON summary (cases, mismatches, runtime) on success"
+    ))
     args = ap.parse_args()
     rng = random.Random(args.seed)
     t0 = time.time()
@@ -136,6 +139,23 @@ def main():
         total += args.cases
         print(f"{total} cases in {time.time() - t0:.0f}s", flush=True)
     print(f"SOAK OK: {total} cases, 0 mismatches")
+    if args.artifact:
+        import json
+
+        with open(args.artifact, "w") as f:
+            json.dump({
+                "cases": total,
+                "mismatches": 0,
+                "seconds": round(time.time() - t0),
+                "sweep": "engines x chunk_len x capacity x cascade_mode "
+                         "x bloom_impl x table_format x find_all x "
+                         "handles x auto_shard (8-device CPU mesh)",
+                "seed": args.seed,
+                "measured_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            }, f, indent=1)
+        print(f"wrote {args.artifact}")
 
 
 if __name__ == "__main__":

@@ -46,10 +46,29 @@ BLOCK_R = 1024
 SUB = 8  # Mosaic gather tile height
 
 
+#: row count up to which the bank probe uses the select-tree formulation
+#: (below) instead of the fori_loop row scan.  8 = the production
+#: headline shape; the tree keeps ~n_rows gathered [block_r, 128] values
+#: live at once, so larger tables would trade its op saving for VMEM
+#: pressure (the 48-row smoke config OOM'd scoped vmem at 16 rows).
+_TREE_MAX_ROWS = 8
+
+
 def _bank_probe(table_ref, c, salts, log2_rows, n_banks, pack):
     """Shared block-wide bank-select probe body: AND over ``salts`` of the
-    hashed bloom word of every code in the ``[R, 128]`` block ``c``.  See
-    ``_vmem_kernel`` for the cost model."""
+    hashed bloom word of every code in the ``[R, 128]`` block ``c``.
+
+    Two formulations by per-salt physical row count:
+
+    * ``n_rows <= 16`` (the production headline shape: N=4096, pack 4 =>
+      8 rows/salt): broadcast every row once and resolve the per-cell row
+      choice with a ``log2(n_rows)``-level binary SELECT TREE, then ONE
+      lane gather — ~24 vector ops per salt.  The loop formulation pays
+      broadcast + gather + select per ROW (~6 ops x n_rows = 48), i.e.
+      n_rows-fold redundant lane gathers, because Mosaic's sublane gather
+      cannot index across more than one [8, 128] tile (round-5; the bank
+      loop was ~60% of the 12 ms fused kernel).
+    * larger tables: the round-3 fori_loop row scan."""
     shift = jnp.uint32(32 - log2_rows)
     R = c.shape[0]
     n_rows = n_banks // pack
@@ -68,21 +87,55 @@ def _bank_probe(table_ref, c, salts, log2_rows, n_banks, pack):
             prow = bank
             sub_shift = None
 
-        def bank_body(b, acc, lane=lane, prow=prow, sub_shift=sub_shift,
-                      p=p):
-            row = jnp.broadcast_to(
-                table_ref[pl.ds(p * n_rows + b, 1), :], (R, 128)
-            )
-            g = jnp.take_along_axis(row, lane, axis=1)
+        if n_rows <= _TREE_MAX_ROWS:
+            # per-row lane gathers, then a binary select tree over the
+            # GATHERED per-cell values (selection must use the target
+            # cell's own prow, so it runs after the gather), and one
+            # subword extraction at the end — vs the loop's per-row
+            # select + per-row subword + fori_loop step overhead
+            vals = [
+                jnp.take_along_axis(
+                    jnp.broadcast_to(
+                        table_ref[pl.ds(p * n_rows + r, 1), :], (R, 128)
+                    ),
+                    lane,
+                    axis=1,
+                )
+                for r in range(n_rows)
+            ]
+            bit = 1
+            while len(vals) > 1:
+                nxt = []
+                for i in range(0, len(vals) - 1, 2):
+                    nxt.append(
+                        jnp.where((prow & bit) != 0, vals[i + 1], vals[i])
+                    )
+                if len(vals) % 2:
+                    nxt.append(vals[-1])
+                vals = nxt
+                bit *= 2
+            g = vals[0]
             if pack > 1:
                 g = (
                     (g.astype(jnp.uint32) >> sub_shift) & submask
                 ).astype(jnp.int32)
-            return jnp.where(prow == b, g, acc)
+            acc = g
+        else:
+            def bank_body(b, acc, lane=lane, prow=prow,
+                          sub_shift=sub_shift, p=p):
+                row = jnp.broadcast_to(
+                    table_ref[pl.ds(p * n_rows + b, 1), :], (R, 128)
+                )
+                g = jnp.take_along_axis(row, lane, axis=1)
+                if pack > 1:
+                    g = (
+                        (g.astype(jnp.uint32) >> sub_shift) & submask
+                    ).astype(jnp.int32)
+                return jnp.where(prow == b, g, acc)
 
-        acc = jax.lax.fori_loop(
-            0, n_rows, bank_body, jnp.zeros((R, 128), jnp.int32)
-        )
+            acc = jax.lax.fori_loop(
+                0, n_rows, bank_body, jnp.zeros((R, 128), jnp.int32)
+            )
         acc_all = acc if acc_all is None else (acc_all & acc)
     return acc_all
 
@@ -178,6 +231,13 @@ def bloom_word_vmem(
         out_specs=pl.BlockSpec((block_r, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=out_sds,
+        # the select-tree probe (round 5) keeps ~n_rows gathered
+        # [block_r, 128] values live per salt; headroom over the 16M
+        # default accommodates that working set (cf. the fused kernel's
+        # identical bump)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(table, grid_codes)
     return out.reshape(-1)[:n].reshape(shape)

@@ -841,7 +841,7 @@ def sharded_sampled_verified(
         "vmem_salts", "vmem_pack", "log2_words", "salts", "shorts",
         "win_len", "cap_hits", "cap_rec", "cap_coarse", "prefix_salts",
         "prefix_log2", "prefix_len", "block_r", "filter_kind",
-        "compressed", "has_words2", "interpret", "collect",
+        "compressed", "use_k2", "has_words2", "interpret", "collect",
     ),
 )
 def _sharded_call_sampled_records(
@@ -882,6 +882,7 @@ def _sharded_call_sampled_records(
     block_r: int = 1024,
     filter_kind: str = "take",  # "vmem" | "grouped" | "take"
     compressed: bool = False,
+    use_k2: bool = False,  # table_flat holds the packed 2-step table
     has_words2: bool = False,
     interpret: bool = False,
     collect: bool = False,
@@ -906,6 +907,7 @@ def _sharded_call_sampled_records(
         filter_hits_sampled_grouped,
         filter_hits_sampled_vmem,
         verify_windows_records,
+        verify_windows_records2,
         verify_windows_records_compressed,
     )
 
@@ -946,6 +948,12 @@ def _sharded_call_sampled_records(
                 tf, mt, et, bc, ub, ch, ln, ef, idx, dfs, fs,
                 n_classes=n_classes, n_dense=n_dense, stride=stride,
                 win_len=win_len, capacity=cap_rec, n_hits=cap_hits,
+            )
+        elif use_k2:
+            rec_cell, rec_pack, nr = verify_windows_records2(
+                tf, bc, ub, ch, ln, ef, idx, fs,
+                n_classes=n_classes, stride=stride, win_len=win_len,
+                capacity=cap_rec, n_hits=cap_hits,
             )
         else:
             rec_cell, rec_pack, nr = verify_windows_records(
@@ -1028,12 +1036,19 @@ def sharded_sampled_records(
     pw = dev.get("prefix_words")
     w2 = dev.get("sampled_words2")
     compressed = cascade_model._compressed
+    use_k2 = (not compressed) and cascade_model.records2_ok
+    if compressed:
+        tflat = dd["dense_flat"]
+    elif use_k2:
+        tflat = cascade_model.verify2_table_dev
+    else:
+        tflat = dd["table_flat"]
     return _sharded_call_sampled_records(
         dev.get("vmem_table", dummy),
         dev["sampled_words"],
         w2 if w2 is not None else dummy,
         pw if pw is not None else dummy,
-        dd["dense_flat"] if compressed else dd["table_flat"],
+        tflat,
         dd["meta"] if compressed else dummy,
         dd["exc_target"] if compressed else dummy,
         dev["byte_class"],
@@ -1065,6 +1080,7 @@ def sharded_sampled_records(
         block_r=cascade_model.take_group_block_r(),
         filter_kind=filter_kind,
         compressed=compressed,
+        use_k2=use_k2,
         has_words2=w2 is not None,
         interpret=_jax.default_backend() != "tpu",
         collect=collect,
