@@ -133,9 +133,11 @@ def main() -> None:
     res = m.match_arrays(handle)  # warm compile + settle capacities
     m.match_arrays(handle)
     pass_matches = int(res["doc"].shape[0])
-    reps = 8  # matches probe_stage_budget methodology: the per-batch
-    # stats + record fetches (~2 tunnel round trips) amortize across
-    # the pipelined batch
+    reps = 12  # the per-batch stats + record fetches (~2 tunnel round
+    # trips) amortize across the pipelined batch; the tunnel also
+    # injects multi-ms jitter into individual batches (observed spread
+    # 15-25 ms/pass on identical work), so the headline is the median
+    # of FIVE timed batches
     caps_before = (cm._cap_hits, cm._cap_flagged) if use_cascade else None
 
     def timed_batch():
@@ -144,8 +146,8 @@ def main() -> None:
         return (time.time() - t0) / reps
 
     timed_batch()  # warm the exact batch structure (trailing-stack graph)
-    batch_times = sorted(timed_batch() for _ in range(3))
-    dt = batch_times[1]
+    batch_times = sorted(timed_batch() for _ in range(5))
+    dt = batch_times[2]
     caps_moved = (
         use_cascade and (cm._cap_hits, cm._cap_flagged) != caps_before
     )
