@@ -119,6 +119,13 @@ class ScanConfig:
     #: kernel's io blocks; the planner sizes down for small pattern sets.
     cascade_vmem_bloom_bytes: int = 32 * 1024 * 1024
 
+    #: Byte length of the pattern-prefix refinement hash (capped by the
+    #: shortest long pattern).  Soundness never depends on it (a true
+    #: occurrence's window prefix is in the bloom by construction); more
+    #: bytes = finer stray discrimination, fewer bytes = less in-kernel
+    #: rolling-hash arithmetic (~8% of the round-5 fused kernel at 16).
+    cascade_prefix_len: int = 12
+
     #: cascade filter mode: "auto" (planner cost model), "sampled" (force
     #: the strided positional bloom), "anchored" (force per-position
     #: multi-stage blooms).

@@ -292,7 +292,9 @@ def _plan_vmem_bloom(
     )
 
 
-def _plan_prefix_bloom(longs: Sequence[bytes], min_long: int) -> dict:
+def _plan_prefix_bloom(
+    longs: Sequence[bytes], min_long: int, len_cap: int = 16
+) -> dict:
     """Build the pattern-prefix bit bloom for stage-2 refinement: one
     entry per distinct ``prefix_len``-byte pattern prefix, hashed by the
     device's rolling polynomial (ops/filter_pallas._prefix_hash_select).
@@ -303,7 +305,7 @@ def _plan_prefix_bloom(longs: Sequence[bytes], min_long: int) -> dict:
     from .. import native
     from ..ops.filter_jax import GRAM_BASE, KNUTH
 
-    l16 = min(min_long, 16)
+    l16 = min(min_long, max(4, min(len_cap, 16)))
     by_len: dict = {}
     for p in longs:
         by_len.setdefault(len(p), []).append(p)
@@ -430,7 +432,9 @@ def plan_cascade(
             density = hit_rate / s
             if density <= config.cascade_max_cand_density:
                 vmem = _plan_vmem_bloom(codes, aligns, len(longs), s, config)
-                prefix = _plan_prefix_bloom(longs, min_long)
+                prefix = _plan_prefix_bloom(
+                    longs, min_long, config.cascade_prefix_len
+                )
                 words2 = None
                 if codes.shape[0] >= WORDS2_MIN_ENTRIES:
                     # 32-bit code space saturates: ~n/2^32 of random

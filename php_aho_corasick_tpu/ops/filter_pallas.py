@@ -780,12 +780,14 @@ def fused_sampled_extract(
             sds((n_blocks * 8, 128)),
         ],
         # the block-1024 working set (double-buffered phases + planes +
-        # per-salt hash intermediates) sits right at the default 16M
-        # scoped-vmem cap; headroom to 24M keeps block_r=1024, whose
-        # per-bank addressing amortization is worth ~2.5x vs 256-row
-        # blocks (benchmarks/probe_blockr.py)
+        # per-salt hash intermediates, round-5: + the select tree's
+        # per-row gathered values and the slot-refinement table) sits
+        # right at the default 16M scoped-vmem cap; headroom to 32M
+        # keeps block_r=1024, whose per-bank addressing amortization is
+        # worth ~2.5x vs 256-row blocks (probe_blockr.py; a 24M cap
+        # still OOM'd at the match-dense mpr=24 slot shapes)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024
+            vmem_limit_bytes=32 * 1024 * 1024
         ),
         interpret=interpret,
     )(*args)

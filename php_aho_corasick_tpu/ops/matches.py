@@ -115,10 +115,15 @@ def pack_documents(
         emit_from[:R] = mi[:, 2]
         lengths[:R] = mi[:, 3]
         starts = np.asarray(doc_off, dtype=np.int64) + mi[:, 1]
-        idx = starts[:, None] + np.arange(L)[None, :]
-        valid = np.arange(L)[None, :] < mi[:, 3][:, None]
-        np.clip(idx, 0, flat.shape[0] - 1, out=idx)
-        chunks[:R] = np.where(valid, flat[idx], 0)
+        # per-row slice copies: a [B, L] fancy-gather index here costs
+        # 8x the corpus in int64 intermediates (~1 GB per 128 MiB — the
+        # round-5 cold-path profile measured the pack at ~20 MB/s);
+        # 32k memcpy-sized slice assignments run at memory speed with
+        # ~2 us of Python each
+        for r in range(R):
+            n = mi[r, 3]
+            o = starts[r]
+            chunks[r, :n] = flat[o : o + n]
     return PackedRows(chunks, lengths, emit_from, doc_id, global_off)
 
 

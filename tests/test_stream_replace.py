@@ -287,3 +287,27 @@ def test_stream_device_carry_compressed_table():
     got = [(r["pos"], r["value"].encode() if isinstance(r["value"], str)
             else r["value"]) for r in recs]
     assert got == _brute_stream(pats, text)
+
+
+def test_save_load_compressed(tmp_path, backend):
+    """Format-v2 round trip of the COMPRESSED table layout — the
+    signature-scale format save_matcher exists for (v1 only handled the
+    dense table and crashed on CompressedAutomaton)."""
+    import random
+
+    rng = random.Random(13)
+    pats = [
+        {"id": i, "value": bytes(rng.choice(b"abcdef") for _ in range(10))}
+        for i in range(40)
+    ]
+    m = Matcher(pats, ScanConfig(backend="device",
+                                 table_format="compressed"))
+    assert m.table_format == "compressed"
+    text = bytes(rng.choice(b"abcdef") for _ in range(20000))
+    expect = m.match(text)
+    p = tmp_path / "sig.npz"
+    save_matcher(m, p)
+    m2 = load_matcher(p, ScanConfig(backend=backend,
+                                    table_format="compressed"))
+    assert m2.table_format == "compressed"
+    assert m2.match(text) == expect
