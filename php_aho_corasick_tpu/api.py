@@ -145,20 +145,9 @@ class DeviceCorpus:
         ):
             return None
         if "wc" not in self._phase_cache:
-            import jax
-            import jax.numpy as jnp
+            from .ops.filter_jax import pack_corpus_words
 
-            @jax.jit
-            def pack(ch):
-                w = None
-                for k in range(4):
-                    part = (
-                        ch[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
-                    )
-                    w = part if w is None else (w | part)
-                return jax.lax.bitcast_convert_type(w, jnp.int32)
-
-            self._phase_cache["wc"] = pack(self.chunks_d)
+            self._phase_cache["wc"] = pack_corpus_words(self.chunks_d)
         return self._phase_cache["wc"]
 
     def dev_inputs_for(self, cascade_model):
@@ -744,9 +733,10 @@ class Matcher:
         ends_a = np.concatenate(ends_l)
         pids_a = np.concatenate(pids_l)
         starts_a = ends_a - self._auto.pat_lens[pids_a]
-        self.stats.record(
-            "cascade-fresh", "device", total, int(docs_a.shape[0])
-        )
+        # bytes/matches were already counted per slice by _arrays_result;
+        # only mark which path served the call (a second record here
+        # would double-count the whole corpus)
+        self.stats.last_engine = "cascade-fresh"
         return {
             "doc": docs_a,
             "pos": ends_a,
@@ -887,47 +877,33 @@ class Matcher:
                 for (_, _, nrs, gh, gr, gc) in outs
             ])
         )
-        pieces = []
         meta = []
+        groups = []
         for (rc, rp, *_), st in zip(outs, stats):
             ok = (
                 int(st[1]) <= cap_a
                 and int(st[3]) <= cap_r
                 and int(st[5]) <= cm._cap_coarse
             )
-            sizes = [int(x) for x in st[6:]] if ok else []
             if ok:
-                for s, nr in enumerate(sizes):
-                    if nr:
-                        pieces.append(rc[s, :nr])
-                        pieces.append(rp[s, :nr])
-            meta.append((ok, sizes))
-        buf = np.asarray(jnp.concatenate(pieces)) if pieces else None
-        off = 0
+                groups.append((rc, rp, [int(x) for x in st[6:]]))
+            meta.append(ok)
+        gathered = iter(self._gather_shard_records(groups))
         results = []
-        for h, (ok, sizes) in zip(handles, meta):
+        for h, ok in zip(handles, meta):
             if not ok:
                 arrays = self._sharded_records_arrays(
                     h.mesh, cm, h.packed, h.chunks_d, h.lengths_d,
                     h.emit_from_d, collect,
                 )
             else:
-                total = sum(sizes)
+                cells, packs, total = next(gathered)
                 if total == 0:
                     z = np.zeros(0, np.int64)
                     arrays = (z, z, z)
                 else:
-                    cells_l, packs_l = [], []
-                    for nr in sizes:
-                        if nr:
-                            cells_l.append(buf[off : off + nr])
-                            packs_l.append(buf[off + nr : off + 2 * nr])
-                            off += 2 * nr
                     arrays = cm.emit_records_arrays(
-                        h.packed,
-                        np.concatenate(cells_l),
-                        np.concatenate(packs_l),
-                        total,
+                        h.packed, cells, packs, total
                     )
             results.append(
                 self._arrays_result(h, *arrays, find_all=find_all)
@@ -1569,6 +1545,43 @@ class Matcher:
         )
         return cm.verify_arrays(packed, merged, int(counts_np.sum()))
 
+    @staticmethod
+    def _gather_shard_records(groups):
+        """ONE concatenated device->host fetch of per-shard record
+        slices for any number of record-buffer groups (handles).
+        ``groups``: list of ``(rc [n_shards, cap], rp [n_shards, cap],
+        sizes [n_shards])``.  Returns one ``(cells, packs, total)``
+        numpy triple per group.  Shared by the single-corpus sharded
+        path and the pipelined sharded batch — the interleaved-buffer
+        slicing contract lives HERE only."""
+        import jax.numpy as jnp
+
+        pieces = []
+        for rc, rp, sizes in groups:
+            for s, nr in enumerate(sizes):
+                if nr:
+                    pieces.append(rc[s, :nr])
+                    pieces.append(rp[s, :nr])
+        buf = np.asarray(jnp.concatenate(pieces)) if pieces else None
+        out = []
+        off = 0
+        z = np.zeros(0, np.int64)
+        for rc, rp, sizes in groups:
+            total = sum(sizes)
+            if total == 0:
+                out.append((z, z, 0))
+                continue
+            cells_l, packs_l = [], []
+            for nr in sizes:
+                if nr:
+                    cells_l.append(buf[off : off + nr])
+                    packs_l.append(buf[off + nr : off + 2 * nr])
+                    off += 2 * nr
+            out.append(
+                (np.concatenate(cells_l), np.concatenate(packs_l), total)
+            )
+        return out
+
     def _sharded_records_arrays(
         self, mesh, cm, packed, chunks, lengths, emit_from, collect
     ):
@@ -1596,32 +1609,14 @@ class Matcher:
             return (rc, rp), int(flat[1]), int(flat[3]), int(flat[5])
 
         (rc, rp), _ = cm.adaptive_chain(launch_r)
-        nr_np = state["nrs"]
-        total = int(nr_np.sum())
-        z = np.zeros(0, np.int64)
-        if total == 0:
-            return z, z, z
-        pieces = []
-        sizes = []
-        for s in range(nr_np.shape[0]):
-            nr = int(nr_np[s])
-            if nr:
-                pieces.append(rc[s, :nr])
-                pieces.append(rp[s, :nr])
-                sizes.append(nr)
-        buf = np.asarray(jnp.concatenate(pieces))
-        cells_l, packs_l = [], []
-        off = 0
-        for nr in sizes:
-            cells_l.append(buf[off : off + nr])
-            packs_l.append(buf[off + nr : off + 2 * nr])
-            off += 2 * nr
-        return cm.emit_records_arrays(
-            packed,
-            np.concatenate(cells_l),
-            np.concatenate(packs_l),
-            total,
+        sizes = [int(x) for x in state["nrs"]]
+        ((cells, packs, total),) = self._gather_shard_records(
+            [(rc, rp, sizes)]
         )
+        if total == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        return cm.emit_records_arrays(packed, cells, packs, total)
 
     def _run_sharded(
         self, packed: PackedRows, capacity: int, engine: str, dev=None
@@ -1653,30 +1648,45 @@ class Matcher:
             emit_from = jax.device_put(jnp.asarray(packed.emit_from), row)
         init = jax.device_put(jnp.zeros((packed.batch,), jnp.int32), row)
         auto = self._auto
-        if engine == "kgram":
-            host = {
-                "ktable": self.kgram_model.ktable_host,
-                "byte_class": auto.byte_class.astype(np.int32),
-                "used_bytes": auto.used_bytes,
+        # replicated automaton arrays are cached per engine: a resident
+        # mesh-sharded DeviceCorpus re-scans many times, and re-uploading
+        # the multi-MB table per pass would defeat the handle's
+        # no-transfer contract (round-5 review finding)
+        cache = getattr(self, "_sharded_dev_cache", None)
+        if cache is None:
+            cache = self._sharded_dev_cache = {}
+        dev = cache.get(engine)
+        if dev is None:
+            if engine == "kgram":
+                host = {
+                    "ktable": self.kgram_model.ktable_host,
+                    "byte_class": auto.byte_class.astype(np.int32),
+                    "used_bytes": auto.used_bytes,
+                }
+            elif engine == "compressed":
+                # replicate the compressed model's device dict (dense
+                # bank + exception arrays) across the mesh
+                host = {
+                    k: np.asarray(v)
+                    for k, v in self._model.device_arrays.items()
+                }
+            else:
+                host = {
+                    "table_flat": np.ascontiguousarray(
+                        auto.table
+                    ).reshape(-1),
+                    "byte_class": auto.byte_class.astype(np.int32),
+                    "used_bytes": auto.used_bytes,
+                }
+            dev = {
+                k: jax.device_put(jnp.asarray(v), rep)
+                for k, v in host.items()
             }
-        elif engine == "compressed":
-            # replicate the compressed model's device dict (dense bank +
-            # exception arrays) across the mesh
-            host = {
-                k: np.asarray(v)
-                for k, v in self._model.device_arrays.items()
-            }
-        else:
-            host = {
-                "table_flat": np.ascontiguousarray(auto.table).reshape(-1),
-                "byte_class": auto.byte_class.astype(np.int32),
-                "used_bytes": auto.used_bytes,
-            }
-        dev = {k: jax.device_put(jnp.asarray(v), rep) for k, v in host.items()}
-        if engine != "compressed":
-            dev["final_start"] = jax.device_put(
-                jnp.int32(auto.final_start), rep
-            )
+            if engine != "compressed":
+                dev["final_start"] = jax.device_put(
+                    jnp.int32(auto.final_start), rep
+                )
+            cache[engine] = dev
         collect = jax.process_count() > 1
         while True:
             if engine == "kgram":

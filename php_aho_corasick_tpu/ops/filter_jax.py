@@ -318,6 +318,21 @@ def filter_hits_sampled(
 FUSED_BLOCK_R = 1024
 
 
+@jax.jit
+def pack_corpus_words(chunks: jax.Array) -> jax.Array:
+    """``[B, L] uint8 -> [B, L/4] int32`` little-endian word pack via 4
+    strided lane slices (the only corpus byte->word relayout that avoids
+    a sub-128 minor dim, docs/PERF_NOTES.md).  Module-level jit: one
+    compile per corpus SHAPE, shared by the fused phase grid, the
+    grouped take path, and the resident-corpus caches (a per-handle
+    closure would re-trace per handle)."""
+    wc = None
+    for k in range(4):
+        part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
+        wc = part if wc is None else (wc | part)
+    return jax.lax.bitcast_convert_type(wc, jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("spc", "block_r"))
 def fused_phase_grid(
     chunks: jax.Array,  # [B, L] uint8, (4*spc) | L
@@ -335,11 +350,7 @@ def fused_phase_grid(
     stride = 4 * spc
     assert L % stride == 0, "phase grid requires stride | L"
     M = L // stride
-    wc = None
-    for k in range(4):
-        part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
-        wc = part if wc is None else (wc | part)
-    wc = jax.lax.bitcast_convert_type(wc, jnp.int32)
+    wc = pack_corpus_words(chunks)
     phases = [wc[:, p::spc] for p in range(spc)]
     n_grid = B * M
     R = -(-n_grid // 128)
@@ -412,11 +423,8 @@ def filter_hits_sampled_grouped(
     # resident-corpus callers pass the cached pack (``wc``) — the pack
     # costs ~8 ms per 64 MiB launch (benchmarks/probe_sig_budget.py)
     if wc is None:
-        for k in range(4):
-            part = chunks[:, k::4].astype(jnp.uint32) << jnp.uint32(8 * k)
-            wc = part if wc is None else (wc | part)
-    else:
-        wc = jax.lax.bitcast_convert_type(wc, jnp.uint32)
+        wc = pack_corpus_words(chunks)
+    wc = jax.lax.bitcast_convert_type(wc, jnp.uint32)
     wc_flat = jax.lax.bitcast_convert_type(wc, jnp.int32).reshape(-1)
     n_words_c = wc_flat.shape[0]
 

@@ -60,15 +60,18 @@ def _bank_probe(table_ref, c, salts, log2_rows, n_banks, pack):
 
     Two formulations by per-salt physical row count:
 
-    * ``n_rows <= 16`` (the production headline shape: N=4096, pack 4 =>
-      8 rows/salt): broadcast every row once and resolve the per-cell row
-      choice with a ``log2(n_rows)``-level binary SELECT TREE, then ONE
-      lane gather — ~24 vector ops per salt.  The loop formulation pays
-      broadcast + gather + select per ROW (~6 ops x n_rows = 48), i.e.
-      n_rows-fold redundant lane gathers, because Mosaic's sublane gather
-      cannot index across more than one [8, 128] tile (round-5; the bank
-      loop was ~60% of the 12 ms fused kernel).
-    * larger tables: the round-3 fori_loop row scan."""
+    * ``n_rows <= _TREE_MAX_ROWS`` (= 8, the production headline shape:
+      N=4096, pack 4 => 8 rows/salt): lane-gather every row once and
+      resolve the per-cell row choice with a ``log2(n_rows)``-level
+      binary SELECT TREE, extracting the packed subword once at the
+      end — ~24 vector ops per salt.  The loop formulation pays
+      broadcast + gather + subword + select per ROW (~6 ops x n_rows =
+      48) because Mosaic's sublane gather cannot index across more than
+      one [8, 128] tile (round-5; the bank loop was ~60% of the 12 ms
+      fused kernel).
+    * larger tables: the round-3 fori_loop row scan (the tree keeps
+      ~n_rows gathered [R, 128] values live at once, which OOM'd
+      scoped VMEM at 16 rows)."""
     shift = jnp.uint32(32 - log2_rows)
     R = c.shape[0]
     n_rows = n_banks // pack
