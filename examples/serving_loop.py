@@ -70,6 +70,27 @@ def main() -> None:
     recs = matcher.match_many(handle)
     print("doc 3 records:", recs[3])
 
+    # steady-state STREAMED serving (round 5): batch k+1's device
+    # chains dispatch before batch k's records expand on the host, so
+    # the device never idles behind host emission — the right loop for
+    # match-dense production feeds
+    batches = [[handle] * 2 for _ in range(3)]
+    t0 = time.time()
+    n_stream = sum(
+        o["doc"].shape[0]
+        for out in matcher.match_arrays_stream(batches)
+        for o in out
+    )
+    dt = (time.time() - t0) / 6
+    print(
+        f"streamed 3x2 batches: {n_stream} matches, "
+        f"{dt * 1e3:.1f} ms/corpus"
+    )
+
+    # on a multi-chip mesh, shard the resident corpus over the devices
+    # (each chip holds 1/N of the rows; the per-shard record chains run
+    # under one shard_map dispatch): device_corpus(docs, shard=True)
+
 
 if __name__ == "__main__":
     main()
